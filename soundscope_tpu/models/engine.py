@@ -1,0 +1,125 @@
+"""Offline (whole-file) analysis engine — one fused jitted pass.
+
+The reference's offline path feeds a fresh ebur128 meter 2 s chunks in a
+Python-side loop (src/analyzer.rs:170-182) and separately min-max-decimates
+the waveform (src/tui.rs:1207-1241). Here the entire file analysis —
+K-weighting, block energies, gated integrated loudness, momentary /
+short-term timelines, LRA, true & sample peaks — is a single jitted JAX
+program over device-resident planar samples:
+
+    result = analyze(cfg)(samples (C, N), n_valid)
+
+Batch analysis is the same program under `vmap` (leading track axis), which
+is the TPU-native replacement for the reference's one-file-at-a-time scan.
+
+Padding: callers pad N up to a compile bucket and pass the true length as
+`n_valid`; all gating/timeline quantities are masked so padded zeros can
+never influence results (they would otherwise create one diluted boundary
+block the reference doesn't have).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from soundscope_tpu.core import constants as C
+from soundscope_tpu.core.config import MeterConfig
+from soundscope_tpu.ops import loudness as L
+from soundscope_tpu.ops.biquad import block_iir, make_block_filter
+from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
+from soundscope_tpu.ops.truepeak import true_peak_masked
+
+
+@struct.dataclass
+class AnalysisResult:
+    """Whole-file analysis products (masked timelines at 100 ms cadence)."""
+
+    integrated_lufs: jnp.ndarray   # scalar
+    lra: jnp.ndarray               # scalar (LU)
+    momentary: jnp.ndarray         # (nm,) LUFS, 400 ms @ 10 Hz
+    shortterm: jnp.ndarray         # (nst,) LUFS, 3 s @ 10 Hz
+    n_momentary: jnp.ndarray       # int32 valid prefix of `momentary`
+    n_shortterm: jnp.ndarray       # int32 valid prefix of `shortterm`
+    true_peak: jnp.ndarray         # (C,) linear
+    sample_peak: jnp.ndarray       # (C,) linear
+
+
+@functools.lru_cache(maxsize=None)
+def analyze_fn(cfg: MeterConfig):
+    """Build the jittable whole-file analysis for a static config."""
+    bf = make_block_filter(kweight_cascade_ss(cfg.rate), cfg.block)
+    weights = jnp.asarray(channel_weights(cfg.channels), jnp.float32)
+    h = cfg.subblock
+
+    def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
+        """samples: (C, N) planar float32; n_valid: () int32."""
+        ch = samples.shape[0]
+        y, _ = block_iir(bf, samples, jnp.zeros((ch, 4), jnp.float32))
+        pos = jnp.arange(samples.shape[-1])
+        y = jnp.where(pos < n_valid, y, 0.0)
+        z = L.weighted_square(y, weights)
+        sums = L.subblock_sums(z, h)
+        nb = sums.shape[-1]
+        nb_valid = n_valid // h
+
+        if nb >= C.MOMENTARY_SUBBLOCKS:
+            e_gate = L.gating_energies(sums, h)
+            m_gate = jnp.arange(e_gate.shape[-1]) < nb_valid - (C.MOMENTARY_SUBBLOCKS - 1)
+            integrated = L.gated_loudness(e_gate, m_gate)
+            momentary = jnp.where(m_gate, L.loudness_from_energy(e_gate), L.NEG_INF)
+            n_mom = jnp.maximum(nb_valid - (C.MOMENTARY_SUBBLOCKS - 1), 0)
+        else:
+            integrated = jnp.float32(L.NEG_INF)
+            momentary = jnp.zeros((0,), jnp.float32)
+            n_mom = jnp.int32(0)
+
+        if nb >= C.SHORTTERM_SUBBLOCKS:
+            e_st = L.shortterm_energies(sums, h)
+            m_st = jnp.arange(e_st.shape[-1]) < nb_valid - (C.SHORTTERM_SUBBLOCKS - 1)
+            shortterm = jnp.where(m_st, L.loudness_from_energy(e_st), L.NEG_INF)
+            n_st = jnp.maximum(nb_valid - (C.SHORTTERM_SUBBLOCKS - 1), 0)
+            e_lra = e_st[..., :: C.LRA_HOP_SUBBLOCKS]
+            m_lra = m_st[..., :: C.LRA_HOP_SUBBLOCKS]
+            lra = L.loudness_range(e_lra, m_lra)
+        else:
+            shortterm = jnp.zeros((0,), jnp.float32)
+            n_st = jnp.int32(0)
+            lra = jnp.float32(0.0)
+
+        tp, sp = true_peak_masked(samples, n_valid, cfg.rate)
+        return AnalysisResult(
+            integrated_lufs=integrated, lra=lra,
+            momentary=momentary, shortterm=shortterm,
+            n_momentary=n_mom, n_shortterm=n_st,
+            true_peak=tp, sample_peak=sp,
+        )
+
+    return analyze
+
+
+def pad_bucket(n: int, minimum: int = 1 << 15) -> int:
+    """Compile-bucket length: next power of two (caps distinct programs)."""
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+def analyze_array(samples: np.ndarray, cfg: MeterConfig) -> AnalysisResult:
+    """Host convenience: planar (C, N) numpy -> AnalysisResult (device)."""
+    ch, n = samples.shape
+    npad = pad_bucket(n)
+    x = np.zeros((ch, npad), np.float32)
+    x[:, :n] = samples
+    fn = jax.jit(analyze_fn(cfg))
+    return fn(jnp.asarray(x), jnp.int32(n))
+
+
+def analyze_batch_fn(cfg: MeterConfig):
+    """vmapped analyze: (B, C, N) samples, (B,) n_valid -> batched result."""
+    return jax.vmap(analyze_fn(cfg))

@@ -1,0 +1,25 @@
+"""Test session config: force the CPU backend with 8 virtual devices.
+
+The dev box exposes one real TPU chip through a slow tunnel; tests run on
+CPU (fast compiles) and validate multi-chip sharding on a virtual
+8-device mesh. `jax.config.update` is required in addition to the env
+vars because the axon plugin registers itself at interpreter start.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
