@@ -1,0 +1,112 @@
+"""Benchmark: batched real-time factor for the full LUFS+STFT analysis.
+
+Workload (per track, matching the reference's per-file work at its own
+cadences): complete BS.1770-4 chain — K-weighting, gated integrated
+loudness, momentary/short-term timelines, LRA, oversampled true peak —
+plus the display STFT (16384-point Hann windows at 2048-sample hop, the
+reference's playback-position cadence, src/audio_player.rs:65) over mid
+and side channels with dBFS + pink-noise scaling.
+
+Metric: processed audio seconds per wall second per chip.
+Baseline: the north-star target from BASELINE.json (>= 10,000x real time);
+the reference publishes no numbers (BASELINE.md).
+
+Prints ONE JSON line to stdout. Details go to stderr.
+
+Env knobs: BENCH_TRACKS, BENCH_SECONDS, BENCH_FFT (xla|matmul),
+BENCH_REPEATS, BENCH_DTYPE (f32|bf16 for the STFT matmuls).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
+    import jax
+    import jax.numpy as jnp
+
+    from soundscope_tpu.core.config import MeterConfig
+    from soundscope_tpu.models.engine import analyze_fn
+    from soundscope_tpu.ops.stft import stft_midside_display
+
+    cfg = MeterConfig(channels=2, rate=rate, max_blocks=0)
+    n = int(seconds * rate)
+    n = (n // cfg.block) * cfg.block
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+
+    analyze = jax.vmap(analyze_fn(cfg))
+
+    @jax.jit
+    def run(x, n_valid):
+        res = analyze(x, n_valid)
+        _, mid_db, side_db = stft_midside_display(
+            x[:, 0], x[:, 1], rate, dtype=dtype
+        )
+        return (
+            res.integrated_lufs,
+            res.lra,
+            res.true_peak,
+            jnp.max(mid_db, axis=(-2, -1)),
+            jnp.max(side_db, axis=(-2, -1)),
+        )
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
+    n_valid = np.full(b, n, np.int32)
+    return run, x, n_valid, n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    b = int(os.environ.get("BENCH_TRACKS", "32"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "60"))
+    fft_impl = os.environ.get("BENCH_FFT", "matmul")
+    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    rate = 48000
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, tracks={b}, seconds={seconds}, fft={fft_impl}, stft dtype={dtype_name}")
+
+    run, x, n_valid, n = build_bench(b, seconds, rate, fft_impl, dtype_name)
+    xd = jax.device_put(jnp.asarray(x))
+    nd = jax.device_put(jnp.asarray(n_valid))
+
+    t0 = time.time()
+    out = run(xd, nd)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    best = float("inf")
+    for i in range(repeats):
+        t0 = time.time()
+        out = run(xd, nd)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"iter {i}: {dt * 1e3:.1f} ms")
+
+    audio_sec = b * (n / rate)
+    rt = audio_sec / best
+    log(f"integrated[0]={float(out[0][0]):.2f} LUFS (sanity)")
+    print(json.dumps({
+        "metric": "rt_factor_lufs_stft",
+        "value": round(rt, 1),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rt / 10000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Batch CLI host.
+
+The reference binary is `soundscope [OPTIONS] [FILE]` with -h/-v
+(src/main.rs:21-30,81-90) and opens straight into the TUI. This CLI keeps
+that surface (`tui [FILE]`) and adds the batch commands the TPU engine is
+built for:
+
+    python -m soundscope_tpu.apps.cli analyze FILE... [--json]
+    python -m soundscope_tpu.apps.cli scan DIR [--json]      # library scan
+    python -m soundscope_tpu.apps.cli tui [FILE]
+    python -m soundscope_tpu.apps.cli themes
+    python -m soundscope_tpu.apps.cli bench
+
+Files are decoded on host, grouped into (channels, rate, padded-length)
+buckets, and each bucket is analyzed as ONE vmapped device program —
+the library-scan path from BASELINE.json config #4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+from soundscope_tpu import __version__
+
+
+def _analyze_paths(paths: list[str]) -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from soundscope_tpu.core.config import MeterConfig
+    from soundscope_tpu.models.engine import analyze_batch_fn, pad_bucket
+    from soundscope_tpu.utils.io import DecodeError, decode_file
+
+    decoded = []
+    results = []
+    for p in paths:
+        try:
+            decoded.append((p, decode_file(p)))
+        except (DecodeError, OSError) as e:
+            results.append({"file": p, "error": str(e)})
+
+    # Bucket by (channels, rate, padded length) for one compile per bucket.
+    buckets: dict[tuple, list] = {}
+    for p, d in decoded:
+        npad = pad_bucket(d.samples.shape[1])
+        buckets.setdefault((d.channels, d.rate, npad), []).append((p, d))
+
+    for (ch, rate, npad), items in buckets.items():
+        cfg = MeterConfig(channels=ch, rate=rate, max_blocks=0)
+        xs = np.zeros((len(items), ch, npad), np.float32)
+        nv = np.zeros(len(items), np.int32)
+        for i, (_, d) in enumerate(items):
+            xs[i, :, : d.samples.shape[1]] = d.samples
+            nv[i] = d.samples.shape[1]
+        fn = jax.jit(analyze_batch_fn(cfg))
+        res = fn(jnp.asarray(xs), jnp.asarray(nv))
+        tp = np.asarray(res.true_peak)
+        sp = np.asarray(res.sample_peak)
+        integ = np.asarray(res.integrated_lufs)
+        lra = np.asarray(res.lra)
+        for i, (p, d) in enumerate(items):
+            with np.errstate(divide="ignore"):
+                tp_db = 20.0 * np.log10(tp[i].max())
+            results.append({
+                "file": p,
+                "title": d.title,
+                "channels": ch,
+                "rate": rate,
+                "duration_s": round(d.duration, 3),
+                "integrated_lufs": round(float(integ[i]), 2),
+                "lra_lu": round(float(lra[i]), 2),
+                "true_peak": [round(float(v), 4) for v in tp[i]],
+                "true_peak_dbtp": round(float(tp_db), 2),
+                "sample_peak": [round(float(v), 4) for v in sp[i]],
+            })
+    order = {p: i for i, p in enumerate(paths)}
+    return sorted(results, key=lambda r: order.get(r["file"], 1 << 30))
+
+
+def _print_table(rows: list[dict]) -> None:
+    cols = ["file", "duration_s", "integrated_lufs", "lra_lu", "true_peak_dbtp"]
+    hdr = ["FILE", "DUR(s)", "LUFS-I", "LRA", "dBTP"]
+    widths = [max(len(h), *(len(str(r.get(c, "-"))) for r in rows)) for c, h in zip(cols, hdr)]
+    print("  ".join(h.ljust(w) for h, w in zip(hdr, widths)))
+    for r in rows:
+        if "error" in r:
+            print(f"{r['file']}: ERROR {r['error']}")
+            continue
+        print("  ".join(str(r.get(c, "-")).ljust(w) for c, w in zip(cols, widths)))
+
+
+def cmd_analyze(args) -> int:
+    rows = _analyze_paths(args.files)
+    if args.json:
+        print(json.dumps(rows, indent=None if args.compact else 2))
+    else:
+        _print_table(rows)
+    return 1 if any("error" in r for r in rows) else 0
+
+
+def cmd_scan(args) -> int:
+    from soundscope_tpu.utils.io import AUDIO_EXTENSIONS
+
+    paths = []
+    for root, _, names in os.walk(args.dir):
+        for nm in sorted(names):
+            if nm.rsplit(".", 1)[-1].lower() in AUDIO_EXTENSIONS:
+                paths.append(os.path.join(root, nm))
+    if not paths:
+        print("no audio files found", file=sys.stderr)
+        return 1
+    args.files = paths
+    return cmd_analyze(args)
+
+
+def cmd_themes(_args) -> int:
+    from soundscope_tpu.apps.themes import list_themes
+
+    for name in list_themes():
+        print(name)
+    return 0
+
+
+def cmd_tui(args) -> int:
+    from soundscope_tpu.apps.tui import run_tui
+
+    return run_tui(args.file)
+
+
+def cmd_bench(_args) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="soundscope-tpu",
+        description="TPU-native audio analyzer (soundscope rebuild)",
+    )
+    ap.add_argument("-v", "--version", action="version", version=__version__)
+    sub = ap.add_subparsers(dest="cmd")
+
+    a = sub.add_parser("analyze", help="analyze audio files (batch, one program per bucket)")
+    a.add_argument("files", nargs="+")
+    a.add_argument("--json", action="store_true")
+    a.add_argument("--compact", action="store_true")
+    a.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("scan", help="recursively analyze a directory")
+    s.add_argument("dir")
+    s.add_argument("--json", action="store_true")
+    s.add_argument("--compact", action="store_true")
+    s.set_defaults(fn=cmd_scan)
+
+    t = sub.add_parser("tui", help="interactive TUI (reference-compatible)")
+    t.add_argument("file", nargs="?")
+    t.set_defaults(fn=cmd_tui)
+
+    sub.add_parser("themes", help="list built-in themes").set_defaults(fn=cmd_themes)
+    sub.add_parser("bench", help="run the RT-factor benchmark").set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    if not getattr(args, "fn", None):
+        ap.print_help()
+        return 2
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,131 @@
+"""ctypes bindings for the native C++ runtime (decoder + ring buffer).
+
+Build (also done automatically on first import):
+    python -m soundscope_tpu.native.build
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libssnative.so")
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    src = os.path.join(_DIR, "decoder.cpp")
+    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO],
+            check=True,
+        )
+    return _SO
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        build()
+        lib = ctypes.CDLL(_SO)
+    except Exception:
+        return None
+
+    class DecodedWav(ctypes.Structure):
+        _fields_ = [
+            ("data", ctypes.POINTER(ctypes.c_float)),
+            ("frames", ctypes.c_int64),
+            ("channels", ctypes.c_int32),
+            ("rate", ctypes.c_int32),
+        ]
+
+    lib.ss_decode_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_wav.restype = ctypes.c_int
+    lib.ss_free_decoded.argtypes = [ctypes.POINTER(DecodedWav)]
+    lib.ss_ring_new.argtypes = [ctypes.c_int64]
+    lib.ss_ring_new.restype = ctypes.c_void_p
+    lib.ss_ring_free.argtypes = [ctypes.c_void_p]
+    lib.ss_ring_push.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.ss_ring_snapshot.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.ss_ring_total.argtypes = [ctypes.c_void_p]
+    lib.ss_ring_total.restype = ctypes.c_uint64
+    lib._DecodedWav = DecodedWav
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class decoder:
+    """Namespace mirroring utils.io's decode interface."""
+
+    @staticmethod
+    def available() -> bool:
+        return available()
+
+    @staticmethod
+    def decode(path: str):
+        from soundscope_tpu.utils.io import DecodedAudio, DecodeError
+
+        lib = _load()
+        if lib is None:
+            raise DecodeError("native decoder unavailable")
+        out = lib._DecodedWav()
+        rc = lib.ss_decode_wav(path.encode(), ctypes.byref(out))
+        if rc != 0:
+            raise DecodeError(f"native WAV decode failed (rc={rc})")
+        try:
+            n = out.frames * out.channels
+            flat = np.ctypeslib.as_array(out.data, shape=(int(n),))
+            planar = flat.reshape(out.channels, out.frames).copy()
+        finally:
+            lib.ss_free_decoded(ctypes.byref(out))
+        title = os.path.splitext(os.path.basename(path))[0]
+        return DecodedAudio(planar, int(out.rate), title)
+
+
+class NativeRing:
+    """Overwrite-oldest float ring buffer (capture feeder), C++-backed."""
+
+    def __init__(self, capacity: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._h = lib.ss_ring_new(capacity)
+        self.capacity = capacity
+
+    def push(self, x: np.ndarray) -> None:
+        x = np.ascontiguousarray(x, np.float32)
+        self._lib.ss_ring_push(
+            self._h, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.size
+        )
+
+    def snapshot(self) -> np.ndarray:
+        out = np.empty(self.capacity, np.float32)
+        self._lib.ss_ring_snapshot(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return out
+
+    @property
+    def total_pushed(self) -> int:
+        return int(self._lib.ss_ring_total(self._h))
+
+    def __del__(self):
+        try:
+            self._lib.ss_ring_free(self._h)
+        except Exception:
+            pass

@@ -180,6 +180,58 @@ def _affine_scan(A_B: jnp.ndarray, s0: jnp.ndarray, s_in: jnp.ndarray):
     return s_before, s_after[..., -1, :]
 
 
+def block_iir_parts(bf: BlockFilter, x: jnp.ndarray):
+    """Zero-state decomposition for sequence-sharded filtering.
+
+    x: (..., N) with N a multiple of bf.block. Returns
+      y_zero:   (..., N)   outputs for s0 = 0
+      P:        (nb, n, n) P[j] = (A_B^T)^j — propagates an initial state to
+                           the start of block j (P[0] = I)
+      s_final0: (..., n)   final state for s0 = 0
+    so that for any initial state s0:
+      y_block_j = y_zero_j + (s0 @ P[j]) @ Ot
+      s_final   = s0 @ P[nb] ... (use bf A_pows / P) + s_final0
+    This is what parallel/seqshard.py uses to make each shard's output
+    exact once the true inter-shard states are known.
+    """
+    B = bf.block
+    N = x.shape[-1]
+    assert N % B == 0, "sharded path requires N % block == 0"
+    nb = N // B
+    batch = x.shape[:-1]
+    n = bf.A_pows.shape[-1]
+    xb = x.reshape(*batch, nb, B)
+    y0 = jnp.matmul(xb, bf.Tt, precision=_PREC)
+    s_in = jnp.matmul(xb, bf.Wt, precision=_PREC)
+    ABt = bf.A_pows[B].T
+    M = jnp.broadcast_to(ABt, (nb, n, n))
+
+    def combine(left, right):
+        m1, v1 = left
+        m2, v2 = right
+        return (
+            jnp.matmul(m1, m2, precision=_PREC),
+            jnp.matmul(v1[..., None, :], m2, precision=_PREC)[..., 0, :] + v2,
+        )
+
+    # Scan with leading nb axis for M (shared across batch) — move s_in's
+    # block axis to the front for a homogeneous scan, then back.
+    v = jnp.moveaxis(s_in, -2, 0)  # (nb, ..., n)
+    # M is shared across batch: keep it (nb, 1...1, n, n) and let matmul
+    # broadcasting in `combine` do the rest (avoids nb*batch 4x4 copies).
+    Mb = M.reshape(nb, *([1] * len(batch)), n, n)
+    cumM, s_after = jax.lax.associative_scan(combine, (Mb, v), axis=0)
+    s_before0 = jnp.concatenate([jnp.zeros((1, *batch, n), x.dtype), s_after[:-1]], 0)
+    y_zero = y0 + jnp.moveaxis(jnp.matmul(s_before0, bf.Ot, precision=_PREC), 0, -2)
+    y_zero = y_zero.reshape(*batch, N)
+    # P[j] = (A_B^T)^j; cumM[j] = (A_B^T)^(j+1) (batch dims are size 1).
+    cum_sq = cumM.reshape(nb, n, n)
+    P = jnp.concatenate([jnp.eye(n, dtype=x.dtype)[None], cum_sq[:-1]], axis=0)
+    s_final0 = s_after[-1]
+    P_total = cum_sq[-1]
+    return y_zero, P, s_final0, P_total
+
+
 def block_iir(bf: BlockFilter, x: jnp.ndarray, s0: jnp.ndarray):
     """Apply the filter to x: (..., N) with initial state s0: (..., n).
 

@@ -43,8 +43,9 @@ def _fourstep_consts(n: int):
 def fft_matmul(x: jnp.ndarray):
     """Complex DFT of real input x (..., N) -> (re, im) each (..., N)."""
     n = x.shape[-1]
-    n1, n2, (f1r, f1i), (f2r, f2i), (twr, twi) = jax.tree_util.tree_map(
-        jnp.asarray, _fourstep_consts(n)
+    n1, n2, mats1, mats2, tws = _fourstep_consts(n)
+    (f1r, f1i), (f2r, f2i), (twr, twi) = (
+        tuple(jnp.asarray(m) for m in pair) for pair in (mats1, mats2, tws)
     )
     batch = x.shape[:-1]
     x1 = x.reshape(*batch, n1, n2)
@@ -63,6 +64,68 @@ def fft_matmul(x: jnp.ndarray):
     xr = jnp.swapaxes(xr, -1, -2).reshape(*batch, n)
     xi = jnp.swapaxes(xi, -1, -2).reshape(*batch, n)
     return xr, xi
+
+
+def fft_matmul_complex(xr: jnp.ndarray, xi: jnp.ndarray, dtype=jnp.float32):
+    """Complex DFT of complex input (re, im) -> (re, im), four-step matmuls.
+
+    `dtype=jnp.bfloat16` runs the MXU at native speed with f32 accumulation
+    (~0.4% magnitude error — invisible at display-dB resolution); float32
+    uses HIGHEST precision.
+    """
+    n = xr.shape[-1]
+    n1, n2, mats1, mats2, tws = _fourstep_consts(n)
+    f1r, f1i = (jnp.asarray(m, dtype) for m in mats1)
+    f2r, f2i = (jnp.asarray(m, dtype) for m in mats2)
+    twr, twi = (jnp.asarray(m) for m in tws)  # twiddles elementwise: keep f32
+    prec = jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16 else _PREC
+    batch = xr.shape[:-1]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a.astype(dtype), b,
+            (((a.ndim - 1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    x1r = xr.reshape(*batch, n1, n2)
+    x1i = xi.reshape(*batch, n1, n2)
+    # Step 1: A = F1 @ X  — contract over n1: einsum('kn,...nm') as dots.
+    def lmm(f, x):
+        # f (n1, n1) @ x (..., n1, n2) over x's n1 axis.
+        y = jax.lax.dot_general(
+            x.astype(dtype), f.T,
+            (((x.ndim - 2,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (..., n2, n1)
+        return jnp.swapaxes(y, -1, -2)
+
+    ar = lmm(f1r, x1r) - lmm(f1i, x1i)
+    ai = lmm(f1i, x1r) + lmm(f1r, x1i)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    yr = mm(br, f2r) - mm(bi, f2i)
+    yi = mm(br, f2i) + mm(bi, f2r)
+    yr = jnp.swapaxes(yr, -1, -2).reshape(*batch, n)
+    yi = jnp.swapaxes(yi, -1, -2).reshape(*batch, n)
+    return yr, yi
+
+
+def fft_pack2(a: jnp.ndarray, b: jnp.ndarray, dtype=jnp.float32):
+    """DFTs of TWO real signals with ONE complex FFT (pack z = a + i*b).
+
+    Returns (Ar, Ai, Br, Bi), each (..., N) — the full complex spectra of
+    a and b, recovered via the conjugate-symmetry split
+      A[k] = (Z[k] + conj(Z[-k]))/2,  B[k] = (Z[k] - conj(Z[-k]))/(2i).
+    """
+    zr, zi = fft_matmul_complex(a, b, dtype=dtype)
+    zr_rev = jnp.roll(zr[..., ::-1], 1, axis=-1)  # Z[-k].re
+    zi_rev = jnp.roll(zi[..., ::-1], 1, axis=-1)  # Z[-k].im
+    ar = 0.5 * (zr + zr_rev)
+    ai = 0.5 * (zi - zi_rev)
+    br = 0.5 * (zi + zi_rev)
+    bi = 0.5 * (zr_rev - zr)
+    return ar, ai, br, bi
 
 
 def rfft_mag(x: jnp.ndarray, impl: str = "xla") -> jnp.ndarray:

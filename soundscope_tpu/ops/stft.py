@@ -1,0 +1,103 @@
+"""Throughput STFT: the display-spectrum pipeline over whole tracks.
+
+The reference recomputes two 16384-point FFTs (mid + side) per playback
+position update (src/tui.rs:1488-1524, ~21.5 Hz at 44.1 kHz — one update
+per 2048 samples, src/audio_player.rs:65). The batch equivalent — a full
+spectrogram at that hop over every track — is built TPU-first:
+
+* window extraction by CONTIGUOUS slice-stacking (hop divides win), not
+  gather — measured 8x faster on TPU;
+* mid and side spectra from ONE complex FFT per window: pack z = l + i*r,
+  split by conjugate symmetry, then Mid = (L+R)/2, Side = (L-R)/2 in the
+  frequency domain (FFT linearity) — 4x less FFT work than four real FFTs;
+* four-step matmul FFT on the MXU (ops/fft.py), optionally bfloat16 with
+  f32 accumulation (~0.03 dB error, invisible at display resolution);
+* pink-noise compensation and dBFS scaling folded into a per-bin LINEAR
+  gain so band max-pooling commutes with the (monotonic) log — one log10
+  per pooled band instead of per bin.
+
+Exact per-bin display math for single windows lives in ops/spectrum.py;
+this module is the bulk path (library scans, benchmarks, offline
+spectrogram products).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from soundscope_tpu.core import constants as C
+from soundscope_tpu.ops.fft import fft_pack2
+from soundscope_tpu.ops.spectrum import _bin_plan, _hann_np
+
+
+def frame_signal(x: jnp.ndarray, win: int, hop: int) -> jnp.ndarray:
+    """(..., N) -> (..., nw, win) overlapping windows via slice-stacking.
+
+    Requires win % hop == 0. nw = (N - win)//hop + 1, rounded down so all
+    stacked slices share a length (bounded transient memory, no gather).
+    """
+    assert win % hop == 0, "hop must divide win"
+    n = x.shape[-1]
+    k = win // hop
+    nhop = n // hop
+    nw = nhop - k + 1
+    frames = x[..., : nhop * hop].reshape(*x.shape[:-1], nhop, hop)
+    segs = [frames[..., i: i + nw, :] for i in range(k)]
+    return jnp.concatenate(segs, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _pooled_gain_plan(n: int, rate: int, pool: int):
+    """Per-bin linear gain (dBFS scaler x pink compensation), band edges."""
+    lo, hi, freqs, pink_db, xmap = _bin_plan(
+        n, rate, C.SPECTRUM_FMIN_HZ, C.SPECTRUM_FMAX_HZ
+    )
+    gain = (4.0 / n) * 10.0 ** (pink_db.astype(np.float64) / 20.0)
+    nbins = hi - lo
+    per = nbins // pool
+    used = per * pool
+    # chart x of each pooled band = x of its center bin
+    centers = xmap[: used].reshape(pool, per)[:, per // 2]
+    return lo, used, per, gain[:used].astype(np.float32), centers
+
+
+def stft_midside_display(
+    l: jnp.ndarray,
+    r: jnp.ndarray,
+    rate: int,
+    win: int = C.DEFAULT_FFT_SIZE,
+    hop: int = 2048,
+    pool: int = 64,
+    dtype=jnp.float32,
+    gain_db: float = 0.0,
+):
+    """(..., N) L/R -> (chart_x (pool,), mid_db, side_db (..., nw, pool)).
+
+    Pooled (band-max) display spectrogram of mid and side channels with the
+    reference's exact per-bin scaling folded in before pooling.
+    """
+    n = win
+    lo, used, per, gain, centers = _pooled_gain_plan(n, rate, pool)
+    w = jnp.asarray(_hann_np(win))
+    lw = frame_signal(l, win, hop) * w
+    rw = frame_signal(r, win, hop) * w
+    Ar, Ai, Br, Bi = fft_pack2(lw, rw, dtype=dtype)
+    # frequency-domain mid/side (linearity), slice to display bins
+    sl = slice(lo, lo + used)
+    mr, mi = 0.5 * (Ar + Br)[..., sl], 0.5 * (Ai + Bi)[..., sl]
+    sr_, si = 0.5 * (Ar - Br)[..., sl], 0.5 * (Ai - Bi)[..., sl]
+    g2 = jnp.asarray(gain) ** 2
+
+    def pooled_db(re, im):
+        p = (re * re + im * im) * g2
+        pm = jnp.max(p.reshape(*p.shape[:-1], pool, per), axis=-1)
+        return jnp.where(
+            pm > 0.0,
+            10.0 * jnp.log10(jnp.maximum(pm, 1e-38)) + gain_db,
+            jnp.float32(C.SPECTRUM_FLOOR_DB) + gain_db,
+        )
+
+    return centers, pooled_db(mr, mi), pooled_db(sr_, si)

@@ -1,0 +1,54 @@
+"""CLI host: analyze/scan/themes through the real argv surface."""
+
+import json
+
+import numpy as np
+import pytest
+
+from soundscope_tpu.apps.cli import main
+from soundscope_tpu.utils.io import write_wav
+from soundscope_tpu.utils.synth import sine, stereo
+
+
+@pytest.fixture
+def wav_dir(tmp_path):
+    x1 = stereo(sine(997.0, 6.0, 48000, -23.0))
+    write_wav(str(tmp_path / "a.wav"), x1, 48000)
+    x2 = stereo(sine(440.0, 3.0, 44100, -30.0))
+    write_wav(str(tmp_path / "b.wav"), x2, 44100)
+    return tmp_path
+
+
+def test_analyze_json(wav_dir, capsys):
+    rc = main(["analyze", str(wav_dir / "a.wav"), "--json", "--compact"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 1
+    r = rows[0]
+    assert abs(r["integrated_lufs"] + 23.0) < 0.1
+    assert abs(r["true_peak_dbtp"] + 23.0) < 0.15
+    assert r["rate"] == 48000 and r["channels"] == 2
+    assert abs(r["duration_s"] - 6.0) < 0.01
+
+
+def test_scan_table(wav_dir, capsys):
+    rc = main(["scan", str(wav_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "LUFS-I" in out and "a.wav" in out and "b.wav" in out
+
+
+def test_analyze_error_reported(wav_dir, capsys):
+    bad = wav_dir / "broken.wav"
+    bad.write_bytes(b"garbage")
+    rc = main(["analyze", str(bad), str(wav_dir / "a.wav"), "--json", "--compact"])
+    assert rc == 1
+    rows = json.loads(capsys.readouterr().out)
+    assert any("error" in r for r in rows)
+    assert any("integrated_lufs" in r for r in rows)
+
+
+def test_themes_list(capsys):
+    assert main(["themes"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 17 and "Nord" in out
