@@ -1,0 +1,245 @@
+"""Audio player host — the reference's AudioPlayer/AudioFile analog.
+
+The reference runs a rodio sink on the main thread with a 10 ms command
+poll loop (src/audio_player.rs:270-397) and streams decoded samples,
+reporting the playhead every 2048 samples (src/audio_player.rs:65).
+
+This host has no guaranteed audio output device, so playback is driven by
+a sample-accurate wall-clock transport (the analysis/UI behave
+identically); when an ALSA `aplay` binary and device exist, audio is also
+rendered to it (gated, best-effort). Commands and events flow over
+queues — the channel fabric mirroring main.rs:35-44:
+
+    PlayerCommand (bounded)  ->  player thread
+    AudioFile (decoded)      <-  player thread
+    PlaybackPosition (int)   <-  transport
+    errors (str)             <-  player thread
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import queue
+import shutil
+import subprocess
+import threading
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from soundscope_tpu.utils.io import DecodedAudio, DecodeError, decode_file
+
+POSITION_EVERY = 2048  # frames between playhead reports (reference cadence)
+SEEK_SECONDS = 5.0
+
+
+class Command(enum.Enum):
+    SELECT_FILE = "select_file"
+    CHANGE_STATE = "change_state"   # play/pause toggle
+    QUIT = "quit"
+    MOVE_RIGHT = "move_right"
+    MOVE_LEFT = "move_left"
+    SHOW_TEST_ERROR = "show_test_error"
+
+
+@dataclass
+class PlayerCommand:
+    kind: Command
+    arg: object = None
+
+
+class AudioFileHandle:
+    """Decoded file + derived data (mid/side, duration) — AudioFile analog."""
+
+    def __init__(self, decoded: DecodedAudio):
+        self.decoded = decoded
+        self.mid, self.side = decoded.mid_side()
+        self.rate = decoded.rate
+        self.title = decoded.title
+        self.duration = decoded.duration
+        self.channels = min(decoded.channels, 2) or 1
+
+    def interleaved(self) -> np.ndarray:
+        if self.decoded.channels >= 2:
+            two = self.decoded.samples[:2]
+        else:
+            two = np.repeat(self.decoded.samples[:1], 2, axis=0)
+        return np.ascontiguousarray(two.T).reshape(-1)
+
+
+class Transport:
+    """Wall-clock sample transport with play/pause/seek (virtual sink)."""
+
+    def __init__(self, position_q: queue.Queue):
+        self._pos_q = position_q
+        self._lock = threading.Lock()
+        self._rate = 44100
+        self._frames = 0
+        self._base_frame = 0
+        self._base_time = None  # None = paused
+        self._last_report = -1
+
+    def load(self, rate: int, frames: int):
+        with self._lock:
+            self._rate = rate
+            self._frames = frames
+            self._base_frame = 0
+            self._base_time = None
+            self._last_report = -1
+
+    def playing(self) -> bool:
+        with self._lock:
+            return self._base_time is not None
+
+    def position(self) -> int:
+        with self._lock:
+            return self._position_locked()
+
+    def _position_locked(self) -> int:
+        if self._base_time is None:
+            return self._base_frame
+        p = self._base_frame + int((time.monotonic() - self._base_time) * self._rate)
+        return min(p, self._frames)
+
+    def play(self):
+        with self._lock:
+            if self._base_time is None:
+                if self._base_frame >= self._frames:
+                    self._base_frame = 0  # re-append at EOF like the sink
+                self._base_time = time.monotonic()
+
+    def pause(self):
+        with self._lock:
+            if self._base_time is not None:
+                self._base_frame = self._position_locked()
+                self._base_time = None
+
+    def seek(self, delta_s: float):
+        with self._lock:
+            p = self._position_locked()
+            p += int(delta_s * self._rate)
+            self._base_frame = max(0, min(p, self._frames))
+            if self._base_time is not None:
+                self._base_time = time.monotonic()
+        self._report(force=True)
+
+    def at_eof(self) -> bool:
+        return self.position() >= self._frames > 0
+
+    def tick(self):
+        """Emit playhead positions at the reference cadence."""
+        self._report()
+        if self.at_eof() and self.playing():
+            self.pause()
+
+    def _report(self, force: bool = False):
+        p = self.position()
+        step = p // POSITION_EVERY
+        if force or step != self._last_report:
+            self._last_report = step
+            try:
+                # position is in interleaved samples (frames * channels=2),
+                # like rodio's Iterator counting every sample
+                self._pos_q.put_nowait(p * 2)
+            except queue.Full:
+                pass
+
+
+class AlsaSink:
+    """Best-effort real audio via `aplay` (gated; absent in CI images)."""
+
+    @staticmethod
+    def available() -> bool:
+        return shutil.which("aplay") is not None and os.path.exists("/dev/snd")
+
+    def __init__(self, rate: int):
+        self.proc = subprocess.Popen(
+            ["aplay", "-q", "-f", "FLOAT_LE", "-c", "2", "-r", str(rate), "-t", "raw"],
+            stdin=subprocess.PIPE,
+        )
+
+    def write(self, interleaved_f32: np.ndarray):
+        try:
+            self.proc.stdin.write(interleaved_f32.astype("<f4").tobytes())
+        except BrokenPipeError:
+            pass
+
+    def stop(self):
+        try:
+            self.proc.stdin.close()
+            self.proc.terminate()
+        except Exception:
+            pass
+
+
+class AudioPlayer:
+    """Command-loop player thread (reference: AudioPlayer::run,
+    src/audio_player.rs:292-397)."""
+
+    def __init__(self):
+        self.command_q: queue.Queue = queue.Queue(maxsize=8)
+        self.file_q: queue.Queue = queue.Queue(maxsize=1)
+        self.position_q: queue.Queue = queue.Queue()
+        self.error_q: queue.Queue = queue.Queue(maxsize=4)
+        self.transport = Transport(self.position_q)
+        self._quit = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+
+    def send(self, cmd: PlayerCommand):
+        try:
+            self.command_q.put_nowait(cmd)
+        except queue.Full:
+            pass
+
+    def stop(self):
+        self.send(PlayerCommand(Command.QUIT))
+        if self._thread:
+            self._thread.join(timeout=2.0)
+
+    def _error(self, msg: str):
+        try:
+            self.error_q.put_nowait(msg)
+        except queue.Full:
+            pass
+
+    def run(self):
+        while not self._quit.is_set():
+            self.transport.tick()
+            try:
+                cmd = self.command_q.get(timeout=0.01)  # 10 ms poll
+            except queue.Empty:
+                continue
+            if cmd.kind == Command.QUIT:
+                self._quit.set()
+            elif cmd.kind == Command.SELECT_FILE:
+                try:
+                    decoded = decode_file(str(cmd.arg))
+                    handle = AudioFileHandle(decoded)
+                except (DecodeError, OSError) as e:
+                    self._error(f"Failed to open file: {e}")
+                    continue
+                self.transport.load(handle.rate, len(handle.mid))
+                try:
+                    while not self.file_q.empty():
+                        self.file_q.get_nowait()
+                    self.file_q.put_nowait(handle)
+                except queue.Full:
+                    pass
+                self.transport.play()
+            elif cmd.kind == Command.CHANGE_STATE:
+                if self.transport.playing():
+                    self.transport.pause()
+                else:
+                    self.transport.play()
+            elif cmd.kind == Command.MOVE_RIGHT:
+                self.transport.seek(SEEK_SECONDS)
+            elif cmd.kind == Command.MOVE_LEFT:
+                self.transport.seek(-SEEK_SECONDS)
+            elif cmd.kind == Command.SHOW_TEST_ERROR:
+                self._error("This is a test error. As if something went wrong!")
