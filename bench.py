@@ -43,21 +43,60 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
     n = (n // cfg.block) * cfg.block
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
 
-    analyze = jax.vmap(analyze_fn(cfg))
+    analyze = jax.jit(jax.vmap(analyze_fn(cfg)))
+
+    # STFT over window chunks: bounds transient memory (the slice-stacked
+    # window tensor would otherwise be tracks x windows x 16384 floats) and
+    # keeps the XLA program small enough to compile fast.
+    hop, win = 2048, 16384
+    nhop = n // hop
+    chunk_windows = 256
+    k = win // hop
+    nw = nhop - k + 1
+    nchunks = max(nw // chunk_windows, 1)
 
     @jax.jit
+    def stft_stage(x):
+        frames = x[:, :, : nhop * hop].reshape(b, 2, nhop, hop)
+
+        def one(cidx):
+            lo = cidx * chunk_windows
+            fr = jax.lax.dynamic_slice_in_dim(
+                frames, lo, chunk_windows + k - 1, axis=2
+            )
+            seg_l = [fr[:, 0, i: i + chunk_windows] for i in range(k)]
+            seg_r = [fr[:, 1, i: i + chunk_windows] for i in range(k)]
+            lwin = jnp.concatenate(seg_l, axis=-1).reshape(b, chunk_windows, win)
+            rwin = jnp.concatenate(seg_r, axis=-1).reshape(b, chunk_windows, win)
+            # reuse the fused midside kernel on pre-framed windows
+            from soundscope_tpu.ops.fft import fft_pack2
+            from soundscope_tpu.ops.spectrum import _hann_np
+            from soundscope_tpu.ops.stft import _pooled_gain_plan
+
+            lo_bin, used, per, gain, _ = _pooled_gain_plan(win, rate, 64)
+            w = jnp.asarray(_hann_np(win))
+            Ar, Ai, Br, Bi = fft_pack2(lwin * w, rwin * w, dtype=dtype)
+            sl = slice(lo_bin, lo_bin + used)
+            mr, mi = 0.5 * (Ar + Br)[..., sl], 0.5 * (Ai + Bi)[..., sl]
+            sr_, si = 0.5 * (Ar - Br)[..., sl], 0.5 * (Ai - Bi)[..., sl]
+            g2 = jnp.asarray(gain) ** 2
+
+            def pooled(re, im):
+                p = (re * re + im * im) * g2
+                pm = jnp.max(p.reshape(*p.shape[:-1], 64, per), axis=-1)
+                return 10.0 * jnp.log10(jnp.maximum(pm, 1e-38))
+
+            return jnp.max(pooled(mr, mi), axis=(-2, -1)), jnp.max(
+                pooled(sr_, si), axis=(-2, -1)
+            )
+
+        mids, sides = jax.lax.map(one, jnp.arange(nchunks))
+        return jnp.max(mids, axis=0), jnp.max(sides, axis=0)
+
     def run(x, n_valid):
         res = analyze(x, n_valid)
-        _, mid_db, side_db = stft_midside_display(
-            x[:, 0], x[:, 1], rate, dtype=dtype
-        )
-        return (
-            res.integrated_lufs,
-            res.lra,
-            res.true_peak,
-            jnp.max(mid_db, axis=(-2, -1)),
-            jnp.max(side_db, axis=(-2, -1)),
-        )
+        m, sde = stft_stage(x)
+        return (res.integrated_lufs, res.lra, res.true_peak, m, sde)
 
     rng = np.random.default_rng(0)
     x = (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
@@ -65,9 +104,23 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
     return run, x, n_valid, n
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: first-compile through the TPU tunnel
+    costs minutes; repeat runs should not pay it again."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     b = int(os.environ.get("BENCH_TRACKS", "32"))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
