@@ -50,9 +50,9 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
     # keeps the XLA program small enough to compile fast.
     hop, win = 2048, 16384
     nhop = n // hop
-    chunk_windows = 256
     k = win // hop
     nw = nhop - k + 1
+    chunk_windows = min(256, nw)
     nchunks = max(nw // chunk_windows, 1)
 
     @jax.jit
@@ -93,15 +93,38 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
         mids, sides = jax.lax.map(one, jnp.arange(nchunks))
         return jnp.max(mids, axis=0), jnp.max(sides, axis=0)
 
+    stft_mode = os.environ.get("BENCH_STFT", "pallas")
+
+    @jax.jit
+    def stft_oneshot(x):
+        _, mid_db, side_db = stft_midside_display(x[:, 0], x[:, 1], rate, dtype=dtype)
+        return jnp.max(mid_db, axis=(-2, -1)), jnp.max(side_db, axis=(-2, -1))
+
+    @jax.jit
+    def stft_pallas(x):
+        from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
+
+        mid_db, side_db = stft_pooled_pallas(x[:, 0], x[:, 1], rate)
+        return jnp.max(mid_db, axis=(-2, -1)), jnp.max(side_db, axis=(-2, -1))
+
+    stft = {"oneshot": stft_oneshot, "pallas": stft_pallas,
+            "chunked": stft_stage}[stft_mode]
+
     def run(x, n_valid):
         res = analyze(x, n_valid)
-        m, sde = stft_stage(x)
+        m, sde = stft(x)
         return (res.integrated_lufs, res.lra, res.true_peak, m, sde)
 
-    rng = np.random.default_rng(0)
-    x = (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
-    n_valid = np.full(b, n, np.int32)
-    return run, x, n_valid, n
+    def make_inputs():
+        # generate ON DEVICE: host->device transfer through the dev tunnel
+        # is slow and is not what this benchmark measures
+        import jax.random as jr
+
+        x = jr.normal(jr.PRNGKey(0), (b, 2, n), jnp.float32) * 0.1
+        n_valid = jnp.full((b,), n, jnp.int32)
+        return x, n_valid
+
+    return run, make_inputs, n
 
 
 def _enable_compile_cache():
@@ -132,9 +155,11 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}, tracks={b}, seconds={seconds}, fft={fft_impl}, stft dtype={dtype_name}")
 
-    run, x, n_valid, n = build_bench(b, seconds, rate, fft_impl, dtype_name)
-    xd = jax.device_put(jnp.asarray(x))
-    nd = jax.device_put(jnp.asarray(n_valid))
+    run, make_inputs, n = build_bench(b, seconds, rate, fft_impl, dtype_name)
+    t0 = time.time()
+    xd, nd = make_inputs()
+    jax.block_until_ready(xd)
+    log(f"device input gen: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     out = run(xd, nd)

@@ -25,12 +25,16 @@ class MeterConfig:
         histogram mode only (unbounded duration, ≤0.04 LU quantisation).
       block: inner block length of the blocked state-space K-weighting
         filter (MXU matmul tile; see ops/biquad.py).
+      iir_impl: "xla" (associative-scan blocked filter) or "pallas"
+        (sequential-grid Pallas kernel carrying state in VMEM,
+        ops/pallas_iir.py — offline paths only).
     """
 
     channels: int = C.DEFAULT_CHANNELS
     rate: int = C.DEFAULT_RATE
     max_blocks: int = 36_000
     block: int = 128
+    iir_impl: str = "xla"
 
     def __post_init__(self):
         if self.channels < 1:

@@ -59,7 +59,12 @@ def analyze_fn(cfg: MeterConfig):
     def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
         """samples: (C, N) planar float32; n_valid: () int32."""
         ch = samples.shape[0]
-        y, _ = block_iir(bf, samples, jnp.zeros((ch, 4), jnp.float32))
+        if cfg.iir_impl == "pallas" and samples.shape[-1] % cfg.block == 0:
+            from soundscope_tpu.ops.pallas_iir import block_iir_pallas
+
+            y = block_iir_pallas(bf, samples)
+        else:
+            y, _ = block_iir(bf, samples, jnp.zeros((ch, 4), jnp.float32))
         pos = jnp.arange(samples.shape[-1])
         y = jnp.where(pos < n_valid, y, 0.0)
         z = L.weighted_square(y, weights)

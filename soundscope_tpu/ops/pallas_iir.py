@@ -1,0 +1,99 @@
+"""Pallas TPU kernel for blocked state-space IIR filtering.
+
+The XLA path (ops/biquad.py) resolves the inter-block state dependency
+with `lax.associative_scan` — log-depth but O(nb) extra 4x4 matmul work
+and a materialised (nb, 4, 4) cumulative-product tensor. On TPU, Pallas
+grid steps execute IN ORDER, so the filter state can simply be CARRIED in
+a VMEM scratch buffer across grid iterations:
+
+    grid step j (block j):
+        y_j = x_j @ T^T + s @ O^T        (MXU matmul, batch-major)
+        s   = s @ A_B^T + x_j @ W^T      (tiny VMEM update)
+
+One pass, no scan tree, no cumM tensor; the batch dimension makes every
+grid step a full (BATCH, B) @ (B, B) MXU matmul while input/output blocks
+stream HBM<->VMEM through the automatic pipeline.
+
+Falls back to ops/biquad.block_iir off-TPU (the kernel also runs in
+interpret mode for tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soundscope_tpu.ops.biquad import BlockFilter
+
+
+def _iir_kernel(x_ref, tt_ref, wt_ref, ot_ref, ab_ref, y_ref, s_scratch):
+    import jax.experimental.pallas as pl
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        s_scratch[:] = jnp.zeros_like(s_scratch)
+
+    x = x_ref[:]                       # (BATCH, B)
+    s = s_scratch[:]                   # (BATCH, n)
+    y_ref[:] = (
+        jnp.dot(x, tt_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(s, ot_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    )
+    s_scratch[:] = (
+        jnp.dot(s, ab_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(x, wt_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x2d, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch, n_total = x2d.shape
+    B = bf_Tt.shape[0]
+    nb = n_total // B
+    n_state = bf_Wt.shape[1]
+
+    y = pl.pallas_call(
+        _iir_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((batch, B), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n_state), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_state, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_state, n_state), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch, B), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, n_total), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((batch, n_state), jnp.float32)],
+        interpret=interpret,
+    )(x2d, bf_Tt, bf_Wt, bf_Ot, bf_ABt)
+    return y
+
+
+def block_iir_pallas(bf: BlockFilter, x: jnp.ndarray, interpret: bool = False):
+    """Zero-initial-state filtering of (..., N) with N % block == 0.
+
+    Returns y (..., N). State starts at zero (the offline whole-file
+    case); for streaming with carried state use ops/biquad.block_iir.
+    """
+    B = bf.block
+    n = x.shape[-1]
+    assert n % B == 0, "pallas IIR requires N % block == 0"
+    batch = x.shape[:-1]
+    flat = int(np.prod(batch) or 1)
+    x2d = x.reshape(flat, n)
+    ABt = bf.A_pows[B].T
+    y = _run(bf.Tt, bf.Wt, bf.Ot, ABt, x2d, interpret=interpret)
+    return y.reshape(*batch, n)

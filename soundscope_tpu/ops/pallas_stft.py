@@ -1,0 +1,239 @@
+"""Fused Pallas STFT kernel: frames -> pooled mid/side display spectra.
+
+The XLA STFT path (ops/stft.py) materialises every intermediate in HBM —
+windows (8x input redundancy), complex spectra, powers — so it runs
+memory-bound far from the chip's ceiling. This kernel keeps the ENTIRE
+per-window pipeline in VMEM:
+
+    HBM:  overlapped frame tile  ──DMA──►  VMEM
+    VMEM: build windows (shifted slices) → Hann → pack z = l + i·r
+          → four-step matmul FFT (two 128x128 MXU stages + twiddles)
+          → conjugate split powers |M|², |S|² → per-bin gain → band max
+    HBM:  (wchunk, bands) pooled dB — the only write
+
+Grid = (tracks, window-chunks); input stays in HBM (memory_space=ANY)
+and each step DMAs its own overlapped tile (overlapping tiles cannot be
+expressed with standard BlockSpec index maps).
+
+Matches ops/stft.stft_midside_display pooled output (tested in interpret
+mode); used by bench/engine on TPU for the throughput spectrogram path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soundscope_tpu.core import constants as C
+from soundscope_tpu.ops.spectrum import _hann_np
+from soundscope_tpu.ops.stft import _pooled_gain_plan
+
+WIN = 16384
+HOP = 2048
+K = WIN // HOP          # frames per window
+N1 = 128                # four-step factorisation 16384 = 128 x 128
+N2 = 128
+BANDS = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _consts(rate: int):
+    k1 = np.arange(N1)
+    f1 = np.exp(-2j * np.pi * np.outer(k1, k1) / N1)
+    k2 = np.arange(N2)
+    f2 = np.exp(-2j * np.pi * np.outer(k2, k2) / N2)
+    tw = np.exp(-2j * np.pi * np.outer(k1, k2) / WIN)
+    gain, per, centers = _pooled_gain_plan(WIN, rate, BANDS)
+    g2 = (gain.astype(np.float64) ** 2).astype(np.float32)
+    hann = _hann_np(WIN)
+    exch = np.eye(N1, dtype=np.float32)[::-1].copy()
+    return (
+        f1.real.astype(np.float32), f1.imag.astype(np.float32),
+        f2.real.astype(np.float32), f2.imag.astype(np.float32),
+        tw.real.astype(np.float32), tw.imag.astype(np.float32),
+        hann, g2, exch, per, centers,
+    )
+
+
+def _make_kernel(wchunk: int, nw: int, per: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(l_hbm, r_hbm, f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch,
+               mid_out, side_out, win_l, win_r, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        # Windows by DMA layout: the input is pre-shaped (B, N/128, 128),
+        # so window w (16384 contiguous samples starting at w*HOP) is rows
+        # [w*16, w*16+128) — aligned offsets (x16), and the destination is
+        # directly the (128, 128) matrix the four-step FFT consumes. No
+        # in-kernel shuffles (Mosaic cannot concat sublane-offset slices).
+        rows_per_hop = HOP // N2  # 16
+        copies = []
+        for w_ in range(wchunk):
+            src = pl.ds((j * wchunk + w_) * rows_per_hop, N1)
+            copies.append(pltpu.make_async_copy(
+                l_hbm.at[i, src, :], win_l.at[w_], sem.at[w_],
+            ))
+            copies.append(pltpu.make_async_copy(
+                r_hbm.at[i, src, :], win_r.at[w_], sem.at[wchunk + w_],
+            ))
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+        w = hann[:].reshape(1, N1, N2)
+        # time-domain mid/side, packed as z = mid + i*side: the conjugate
+        # split below then yields |M|^2 and |S|^2 directly
+        wl = win_l[:]
+        wr = win_r[:]
+        zr = (wl + wr) * (0.5 * w)                        # (wchunk, N1, N2)
+        zi = (wl - wr) * (0.5 * w)
+
+        hi = jax.lax.Precision.HIGHEST
+
+        def fft(xr, xi):
+
+            def lmm(f, x):  # f (N1,N1) applied over x's N1 axis
+                y = jax.lax.dot_general(
+                    x, f.T, (((1,), (0,)), ((), ())),
+                    precision=hi, preferred_element_type=jnp.float32,
+                )                                          # (w, N2, N1)
+                return jnp.swapaxes(y, 1, 2)
+
+            ar = lmm(f1r[:], xr) - lmm(f1i[:], xi)
+            ai = lmm(f1i[:], xr) + lmm(f1r[:], xi)
+            br = ar * twr[:] - ai * twi[:]
+            bi = ar * twi[:] + ai * twr[:]
+
+            def rmm(x, f):  # contract x's N2 axis with f (N2,N2)
+                return jax.lax.dot_general(
+                    x, f, (((2,), (0,)), ((), ())),
+                    precision=hi, preferred_element_type=jnp.float32,
+                )                                          # (w, N1, N2->k2)
+
+            yr = rmm(br, f2r[:]) - rmm(bi, f2i[:])
+            yi = rmm(br, f2i[:]) + rmm(bi, f2r[:])
+            return yr, yi  # (w, k1, k2)
+
+        def flatten(t):
+            # k = k1 + N1*k2 -> (k2, k1)-major flatten
+            return jnp.swapaxes(t, 1, 2).reshape(wchunk, WIN)
+
+        def negate_freq(t):
+            """Z[-k] in (w, k1, k2) layout, without lax.rev (unsupported):
+            full double-reverse via exchange-matrix matmuls, then +1 rolls
+            (k' = 16384-k maps k1>=1 to (128-k1, 127-k2) and the k1=0 row
+            to (0, (128-k2) mod 128))."""
+            ex = exch[:]  # (N1, N1) exchange matrix, E[i, j] = [j == N1-1-i]
+            c1 = jax.lax.dot_general(
+                t, ex, (((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )  # (w, k2, k1rev) -- contracted k1, result axes (w, k2, k1')
+            c1 = jnp.swapaxes(c1, 1, 2)  # (w, k1rev, k2)
+            c = jax.lax.dot_general(
+                c1, ex, (((2,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )  # (w, k1rev, k2rev)
+            d = pltpu.roll(c, 1, 1)       # shift k1 by +1
+            e = pltpu.roll(d, 1, 2)       # row-0 needs one extra k2 shift
+            k1_idx = jax.lax.broadcasted_iota(jnp.int32, (wchunk, N1, N2), 1)
+            return jnp.where(k1_idx == 0, e, d)
+
+        yr3, yi3 = fft(zr, zi)
+        zr_f = flatten(yr3)
+        zi_f = flatten(yi3)
+        zr_rev = flatten(negate_freq(yr3))
+        zi_rev = flatten(negate_freq(yi3))
+        p = zr_f * zr_f + zi_f * zi_f
+        p_rev = zr_rev * zr_rev + zi_rev * zi_rev
+        c = zr_f * zr_rev - zi_f * zi_rev
+        g = g2[:]
+        mid_p = 0.25 * (p + p_rev + 2.0 * c) * g
+        side_p = 0.25 * (p + p_rev - 2.0 * c) * g
+
+        def pool(x):
+            pm = jnp.max(x.reshape(wchunk, BANDS, per), axis=-1)
+            return jnp.where(
+                pm > 0.0,
+                10.0 * jnp.log10(jnp.maximum(pm, 1e-38)),
+                jnp.float32(C.SPECTRUM_FLOOR_DB),
+            )
+
+        mid_out[0] = pool(mid_p)
+        side_out[0] = pool(side_p)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "wchunk", "interpret"))
+def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = False):
+    """l, r: (B, N) channel signals -> (mid_db, side_db): (B, nw, BANDS).
+
+    N must satisfy (N // HOP - K + 1) % wchunk == 0 after truncation; the
+    trailing remainder windows are dropped (callers pad or accept — the
+    bench and spectrogram products use aligned lengths).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch, per, _) = _consts(rate)
+    b, n = l.shape
+    nhop = n // HOP
+    nw_full = nhop - K + 1
+    nw = (nw_full // wchunk) * wchunk
+    nwc = nw // wchunk
+    # (B, N/128, 128): window w = 128 rows starting at row 16*w (aligned)
+    frames_l = l[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
+    frames_r = r[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
+
+    kernel = _make_kernel(wchunk, nw, per)
+    smem = pl.ANY
+
+    grid = (b, nwc)
+    rows = nhop * HOP // N2
+    in_specs = [
+            # ANY-space blocks must be the full array with a trivial map;
+            # the kernel DMA-slices its own (track, window) tiles.
+            pl.BlockSpec((b, rows, N2), lambda i, j: (0, 0, 0), memory_space=smem),
+            pl.BlockSpec((b, rows, N2), lambda i, j: (0, 0, 0), memory_space=smem),
+            pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N2, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N2, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+            pl.BlockSpec((1, wchunk, BANDS), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wchunk, BANDS), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+    ]
+    mid, side = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nw, BANDS), jnp.float32),
+            jax.ShapeDtypeStruct((b, nw, BANDS), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wchunk, N1, N2), jnp.float32),
+            pltpu.VMEM((wchunk, N1, N2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * wchunk,)),
+        ],
+        interpret=interpret,
+    )(frames_l, frames_r, f1r, f1i, f2r, f2i, twr, twi,
+      hann.reshape(1, WIN), g2.reshape(1, WIN), exch)
+    return mid, side

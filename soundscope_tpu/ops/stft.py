@@ -51,17 +51,27 @@ def frame_signal(x: jnp.ndarray, win: int, hop: int) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _pooled_gain_plan(n: int, rate: int, pool: int):
-    """Per-bin linear gain (dBFS scaler x pink compensation), band edges."""
+    """Per-bin linear gain over ALL n bins (zero outside the 20 Hz-20 kHz
+    display range), plus chart-x centers of the `pool` aligned bands.
+
+    Bands are `n // pool` CONSECUTIVE natural-order bins — lane-aligned on
+    TPU (the Pallas kernel reshapes (.., pool, per) with per a multiple of
+    128), and out-of-range bins can never win the band max since their
+    gain is exactly 0 and powers are non-negative.
+    """
     lo, hi, freqs, pink_db, xmap = _bin_plan(
         n, rate, C.SPECTRUM_FMIN_HZ, C.SPECTRUM_FMAX_HZ
     )
-    gain = (4.0 / n) * 10.0 ** (pink_db.astype(np.float64) / 20.0)
-    nbins = hi - lo
-    per = nbins // pool
-    used = per * pool
-    # chart x of each pooled band = x of its center bin
-    centers = xmap[: used].reshape(pool, per)[:, per // 2]
-    return lo, used, per, gain[:used].astype(np.float32), centers
+    gain_full = np.zeros(n, np.float64)
+    gain_full[lo:hi] = (4.0 / n) * 10.0 ** (pink_db.astype(np.float64) / 20.0)
+    per = n // pool
+    # chart x of each band = x of its center bin (clipped into range)
+    centers = np.zeros(pool)
+    for b in range(pool):
+        c = b * per + per // 2
+        c = min(max(c, lo), hi - 1)
+        centers[b] = xmap[c - lo]
+    return gain_full.astype(np.float32), per, centers
 
 
 def stft_midside_display(
@@ -70,25 +80,27 @@ def stft_midside_display(
     rate: int,
     win: int = C.DEFAULT_FFT_SIZE,
     hop: int = 2048,
-    pool: int = 64,
+    pool: int = 128,
     dtype=jnp.float32,
     gain_db: float = 0.0,
 ):
     """(..., N) L/R -> (chart_x (pool,), mid_db, side_db (..., nw, pool)).
 
     Pooled (band-max) display spectrogram of mid and side channels with the
-    reference's exact per-bin scaling folded in before pooling.
+    reference's exact per-bin scaling folded in before pooling. Bands are
+    aligned groups of win/pool natural-order bins (zero-gain outside the
+    display range); bands fully outside read the -150 dB floor.
     """
     n = win
-    lo, used, per, gain, centers = _pooled_gain_plan(n, rate, pool)
+    gain, per, centers = _pooled_gain_plan(n, rate, pool)
     w = jnp.asarray(_hann_np(win))
     lw = frame_signal(l, win, hop) * w
     rw = frame_signal(r, win, hop) * w
     Ar, Ai, Br, Bi = fft_pack2(lw, rw, dtype=dtype)
-    # frequency-domain mid/side (linearity), slice to display bins
-    sl = slice(lo, lo + used)
-    mr, mi = 0.5 * (Ar + Br)[..., sl], 0.5 * (Ai + Bi)[..., sl]
-    sr_, si = 0.5 * (Ar - Br)[..., sl], 0.5 * (Ai - Bi)[..., sl]
+    # frequency-domain mid/side (FFT linearity); keep all n bins, the
+    # per-bin gain zeroes everything outside the display range
+    mr, mi = 0.5 * (Ar + Br), 0.5 * (Ai + Bi)
+    sr_, si = 0.5 * (Ar - Br), 0.5 * (Ai - Bi)
     g2 = jnp.asarray(gain) ** 2
 
     def pooled_db(re, im):
