@@ -35,7 +35,7 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
     import jax.numpy as jnp
 
     from soundscope_tpu.core.config import MeterConfig
-    from soundscope_tpu.models.engine import analyze_fn
+    from soundscope_tpu.models.engine import analyze_batch_native
     from soundscope_tpu.ops.stft import stft_midside_display
 
     cfg = MeterConfig(channels=2, rate=rate, max_blocks=0)
@@ -43,7 +43,7 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
     n = (n // cfg.block) * cfg.block
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
 
-    analyze = jax.jit(jax.vmap(analyze_fn(cfg)))
+    analyze = jax.jit(analyze_batch_native(cfg))
 
     # STFT over window chunks: bounds transient memory (the slice-stacked
     # window tensor would otherwise be tracks x windows x 16384 floats) and

@@ -34,7 +34,7 @@ def _analyze_paths(paths: list[str]) -> list[dict]:
     import jax.numpy as jnp
 
     from soundscope_tpu.core.config import MeterConfig
-    from soundscope_tpu.models.engine import analyze_batch_fn, pad_bucket
+    from soundscope_tpu.models.engine import analyze_batch_native, pad_bucket
     from soundscope_tpu.utils.io import DecodeError, decode_file
 
     decoded = []
@@ -58,7 +58,7 @@ def _analyze_paths(paths: list[str]) -> list[dict]:
         for i, (_, d) in enumerate(items):
             xs[i, :, : d.samples.shape[1]] = d.samples
             nv[i] = d.samples.shape[1]
-        fn = jax.jit(analyze_batch_fn(cfg))
+        fn = jax.jit(analyze_batch_native(cfg))
         res = fn(jnp.asarray(xs), jnp.asarray(nv))
         tp = np.asarray(res.true_peak)
         sp = np.asarray(res.sample_peak)

@@ -25,16 +25,17 @@ class MeterConfig:
         histogram mode only (unbounded duration, ≤0.04 LU quantisation).
       block: inner block length of the blocked state-space K-weighting
         filter (MXU matmul tile; see ops/biquad.py).
-      iir_impl: "xla" (associative-scan blocked filter) or "pallas"
-        (sequential-grid Pallas kernel carrying state in VMEM,
-        ops/pallas_iir.py — offline paths only).
+      iir_impl: "auto" (Pallas on TPU, XLA elsewhere), "xla"
+        (associative-scan blocked filter) or "pallas" (sequential-grid
+        Pallas kernel carrying state in VMEM, ops/pallas_iir.py —
+        offline paths only; measured 1.6x faster on v5e).
     """
 
     channels: int = C.DEFAULT_CHANNELS
     rate: int = C.DEFAULT_RATE
     max_blocks: int = 36_000
     block: int = 128
-    iir_impl: str = "xla"
+    iir_impl: str = "auto"
 
     def __post_init__(self):
         if self.channels < 1:

@@ -59,7 +59,10 @@ def analyze_fn(cfg: MeterConfig):
     def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
         """samples: (C, N) planar float32; n_valid: () int32."""
         ch = samples.shape[0]
-        if cfg.iir_impl == "pallas" and samples.shape[-1] % cfg.block == 0:
+        use_pallas = cfg.iir_impl == "pallas" or (
+            cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas and samples.shape[-1] % cfg.block == 0:
             from soundscope_tpu.ops.pallas_iir import block_iir_pallas
 
             y = block_iir_pallas(bf, samples)
@@ -128,3 +131,75 @@ def analyze_array(samples: np.ndarray, cfg: MeterConfig) -> AnalysisResult:
 def analyze_batch_fn(cfg: MeterConfig):
     """vmapped analyze: (B, C, N) samples, (B,) n_valid -> batched result."""
     return jax.vmap(analyze_fn(cfg))
+
+
+@functools.lru_cache(maxsize=None)
+def analyze_batch_native(cfg: MeterConfig):
+    """Natively-batched whole-file analysis: (B, C, N) x (B,) -> result.
+
+    Functionally identical to `analyze_batch_fn` but written directly on
+    the batch axis: the Pallas IIR then sees one big (B*C, N) call instead
+    of being lifted through vmap's batching rule (measured 6x faster on
+    v5e), and every mask broadcasts per track.
+    """
+    bf = make_block_filter(kweight_cascade_ss(cfg.rate), cfg.block)
+    weights = jnp.asarray(channel_weights(cfg.channels), jnp.float32)
+    h = cfg.subblock
+
+    def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
+        b, ch, n = samples.shape
+        use_pallas = cfg.iir_impl == "pallas" or (
+            cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas and n % cfg.block == 0:
+            from soundscope_tpu.ops.pallas_iir import block_iir_pallas
+
+            y = block_iir_pallas(bf, samples)
+        else:
+            y, _ = block_iir(bf, samples, jnp.zeros((b, ch, 4), jnp.float32))
+        nv = n_valid[:, None, None]
+        pos = jnp.arange(n)
+        y = jnp.where(pos[None, None, :] < nv, y, 0.0)
+        z = L.weighted_square(y, weights)
+        sums = L.subblock_sums(z, h)
+        nb = sums.shape[-1]
+        nb_valid = n_valid // h
+
+        e_gate = L.gating_energies(sums, h)
+        m_gate = jnp.arange(e_gate.shape[-1])[None] < (
+            nb_valid[:, None] - (C.MOMENTARY_SUBBLOCKS - 1)
+        )
+        integrated = L.gated_loudness(e_gate, m_gate)
+        momentary = jnp.where(m_gate, L.loudness_from_energy(e_gate), L.NEG_INF)
+        n_mom = jnp.maximum(nb_valid - (C.MOMENTARY_SUBBLOCKS - 1), 0)
+
+        if nb >= C.SHORTTERM_SUBBLOCKS:
+            e_st = L.shortterm_energies(sums, h)
+            m_st = jnp.arange(e_st.shape[-1])[None] < (
+                nb_valid[:, None] - (C.SHORTTERM_SUBBLOCKS - 1)
+            )
+            shortterm = jnp.where(m_st, L.loudness_from_energy(e_st), L.NEG_INF)
+            n_st = jnp.maximum(nb_valid - (C.SHORTTERM_SUBBLOCKS - 1), 0)
+            lra = L.loudness_range(
+                e_st[..., :: C.LRA_HOP_SUBBLOCKS],
+                m_st[..., :: C.LRA_HOP_SUBBLOCKS],
+            )
+        else:
+            shortterm = jnp.zeros((b, 0), jnp.float32)
+            n_st = jnp.zeros((b,), jnp.int32)
+            lra = jnp.zeros((b,), jnp.float32)
+
+        if use_pallas and n % 512 == 0:
+            from soundscope_tpu.ops.pallas_truepeak import true_peak_pallas
+
+            tp, sp = true_peak_pallas(samples, n_valid, cfg.rate)
+        else:
+            tp, sp = true_peak_masked(samples, nv, cfg.rate)
+        return AnalysisResult(
+            integrated_lufs=integrated, lra=lra,
+            momentary=momentary, shortterm=shortterm,
+            n_momentary=n_mom, n_shortterm=n_st,
+            true_peak=tp, sample_peak=sp,
+        )
+
+    return analyze

@@ -1,0 +1,149 @@
+"""Pallas true-peak kernel (BS.1770-4 Annex 2) — nothing materialised.
+
+The XLA path (ops/truepeak.py) writes the 4x-oversampled signal to HBM
+(factor x N floats), reads it back for |.|/max, and spends two more
+full passes on validity masking — ~10 bytes of HBM traffic per input
+byte. This kernel streams input blocks through VMEM once:
+
+    per grid step (sequential over blocks):
+      x_masked = x * [pos < n_valid]
+      for k in 0..12:   x_shift_k via pltpu.roll + carried-tail fixup
+      y_p = sum_k h[p,k] * x_shift_k          (4 phases, VPU)
+      running_max = max(running_max, |y_p| masked, |x_masked|)
+
+State across blocks: the 12-sample tail (for the FIR context) and the
+running per-row maxima — both tiny VMEM scratch. Output: (rows, 1)
+true peak and sample peak, written at the last grid step.
+
+Exact vs the XLA path (tests, interpret mode); rows = tracks x channels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soundscope_tpu.core import constants as C
+from soundscope_tpu.ops.truepeak import _polyphase_taps
+
+BLK = 512  # samples per grid step (lane-dim tile)
+
+
+def _make_kernel(factor: int, nblocks: int, rows: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h_np = _polyphase_taps(factor)          # (F, K)
+    F, Kp = h_np.shape
+    ctx = Kp - 1                             # left context samples (12)
+
+    def kernel(x_ref, nv_ref, tp_ref, sp_ref, prev, run_tp, run_sp):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            prev[:] = jnp.zeros_like(prev)
+            run_tp[:] = jnp.zeros_like(run_tp)
+            run_sp[:] = jnp.zeros_like(run_sp)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 1)
+        pos = j * BLK + col
+        valid = pos < nv_ref[:]
+        x = jnp.where(valid, x_ref[:], 0.0)
+
+        sp = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+        run_sp[:] = jnp.maximum(run_sp[:], sp)
+
+        # shifted-by-k block: roll(x, k) is right for n >= k; for n < k the
+        # wrapped columns must come from the END of the PREVIOUS block,
+        # which is exactly what roll(prev, k)[:, :k] holds.
+        xp = prev[:]
+        tp_blk = jnp.zeros((rows, 1), jnp.float32)
+        for p in range(F):
+            acc = jnp.zeros((rows, BLK), jnp.float32)
+            for k in range(Kp):
+                hk = float(h_np[p, k])
+                if hk == 0.0:
+                    continue
+                if k == 0:
+                    shifted = x
+                else:
+                    shifted = jnp.where(
+                        col < k,
+                        pltpu.roll(xp, k, 1),
+                        pltpu.roll(x, k, 1),
+                    )
+                acc = acc + hk * shifted
+            # outputs beyond the valid region must not count
+            acc = jnp.where(valid, acc, 0.0)
+            tp_blk = jnp.maximum(
+                tp_blk, jnp.max(jnp.abs(acc), axis=1, keepdims=True)
+            )
+        run_tp[:] = jnp.maximum(run_tp[:], tp_blk)
+
+        prev[:] = x
+
+        @pl.when(j == nblocks - 1)
+        def _():
+            tp_ref[:] = jnp.maximum(run_tp[:], run_sp[:])
+            sp_ref[:] = run_sp[:]
+
+    return kernel, ctx
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "interpret"))
+def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
+    """x: (..., N) raw samples, n_valid broadcastable to rows.
+
+    Returns (true_peak (...,), sample_peak (...,)). N % BLK == 0.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    factor = C.true_peak_factor(rate)
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    assert n % BLK == 0, "pallas true peak requires N % 512 == 0"
+    rows = int(np.prod(batch) or 1)
+    x2 = x.reshape(rows, n)
+    nva = jnp.asarray(n_valid, jnp.int32)
+    if nva.ndim == 0:
+        nv = jnp.full((rows, 1), nva, jnp.int32)
+    else:
+        # per-track n_valid (leading batch dim) expands over the rest
+        nv = jnp.repeat(nva.reshape(-1), rows // nva.size).reshape(rows, 1)
+    nblocks = n // BLK
+
+    if factor == 1:
+        pos = jnp.arange(n)[None, :]
+        xm = jnp.where(pos < nv, x2, 0.0)
+        sp = jnp.max(jnp.abs(xm), axis=-1).reshape(batch)
+        return sp, sp
+
+    kernel, ctx = _make_kernel(factor, nblocks, rows)
+    tp, sp = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rows, BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, BLK), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, nv)
+    return tp.reshape(batch), sp.reshape(batch)

@@ -109,6 +109,6 @@ def true_peak_masked(x: jnp.ndarray, n_valid, rate: int):
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=_PREC,
     ).reshape(*batch, factor, n)
-    y = jnp.where(valid, y, 0.0)
+    y = jnp.where(valid[..., None, :], y, 0.0)
     tp = jnp.max(jnp.abs(y), axis=(-2, -1))
     return jnp.maximum(tp, sp), sp

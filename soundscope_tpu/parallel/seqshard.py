@@ -81,7 +81,7 @@ def _true_peak_sharded(x, n_valid, cfg, axis):
             lhs, rhs, window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"), precision=_PREC,
         ).reshape(*batch, factor, nloc)
-        y = jnp.where(pos < n_valid, y, 0.0)
+        y = jnp.where((pos < n_valid)[..., None, :], y, 0.0)
         tp_local = jnp.maximum(jnp.max(jnp.abs(y), axis=(-2, -1)), sp_local)
     tp = jax.lax.pmax(tp_local, axis)
     sp = jax.lax.pmax(sp_local, axis)
