@@ -104,7 +104,7 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
     def stft_pallas(x):
         from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
 
-        mid_db, side_db = stft_pooled_pallas(x[:, 0], x[:, 1], rate)
+        mid_db, side_db = stft_pooled_pallas(x[:, 0], x[:, 1], rate, dtype=dtype)
         return jnp.max(mid_db, axis=(-2, -1)), jnp.max(side_db, axis=(-2, -1))
 
     stft = {"oneshot": stft_oneshot, "pallas": stft_pallas,

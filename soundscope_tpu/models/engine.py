@@ -146,21 +146,28 @@ def analyze_batch_native(cfg: MeterConfig):
     weights = jnp.asarray(channel_weights(cfg.channels), jnp.float32)
     h = cfg.subblock
 
+    w_tuple = tuple(float(v) for v in channel_weights(cfg.channels))
+
     def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
         b, ch, n = samples.shape
         use_pallas = cfg.iir_impl == "pallas" or (
             cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
         )
+        nv = n_valid[:, None, None]
         if use_pallas and n % cfg.block == 0:
-            from soundscope_tpu.ops.pallas_iir import block_iir_pallas
+            # fused: filter + mask + weighted-square + channel-sum in one
+            # Pallas pass; y never touches HBM
+            from soundscope_tpu.ops.pallas_iir import kweight_energy_pallas
 
-            y = block_iir_pallas(bf, samples)
+            z = kweight_energy_pallas(
+                bf.Tt, bf.Wt, bf.Ot, bf.A_pows[cfg.block].T,
+                samples, n_valid, w_tuple,
+            )
         else:
             y, _ = block_iir(bf, samples, jnp.zeros((b, ch, 4), jnp.float32))
-        nv = n_valid[:, None, None]
-        pos = jnp.arange(n)
-        y = jnp.where(pos[None, None, :] < nv, y, 0.0)
-        z = L.weighted_square(y, weights)
+            pos = jnp.arange(n)
+            y = jnp.where(pos[None, None, :] < nv, y, 0.0)
+            z = L.weighted_square(y, weights)
         sums = L.subblock_sums(z, h)
         nb = sums.shape[-1]
         nb_valid = n_valid // h

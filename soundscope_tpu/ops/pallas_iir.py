@@ -82,6 +82,89 @@ def _run(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x2d, interpret=False):
     return y
 
 
+def _energy_kernel_factory(b, ch, n_state, weights):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_list = [float(v) for v in weights]
+
+    def kernel(x_ref, nv_ref, tt_ref, wt_ref, ot_ref, ab_ref, z_ref, s_scratch):
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            s_scratch[:] = jnp.zeros_like(s_scratch)
+
+        j = pl.program_id(0)
+        x = x_ref[:]                      # (b*ch, B)
+        s = s_scratch[:]
+        hiP = jax.lax.Precision.HIGHEST
+        # All dots HIGHEST: Pallas supports only DEFAULT/HIGHEST, and the
+        # filter feeds integrated loudness (keep the full 0.1 LU budget).
+        y = (
+            jnp.dot(x, tt_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(s, ot_ref[:], preferred_element_type=jnp.float32,
+                      precision=hiP)
+        )
+        s_scratch[:] = (
+            jnp.dot(s, ab_ref[:], preferred_element_type=jnp.float32,
+                    precision=hiP)
+            + jnp.dot(x, wt_ref[:], preferred_element_type=jnp.float32,
+                      precision=hiP)
+        )
+        blk = y.shape[-1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, blk), 1) + j * blk
+        yc = y.reshape(b, ch, blk)
+        z = jnp.zeros((b, blk), jnp.float32)
+        for c in range(ch):
+            if w_list[c] == 0.0:
+                continue
+            z = z + w_list[c] * (yc[:, c] * yc[:, c])
+        z = jnp.where(col < nv_ref[:], z, 0.0)
+        z_ref[:] = z
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "interpret"))
+def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
+                          interpret=False):
+    """Fused filter + mask + weighted-square + channel-sum.
+
+    x: (b, ch, N) raw samples, n_valid: (b,), weights: static tuple of
+    per-channel BS.1770 weights. Returns z: (b, N) — the channel-weighted
+    squared K-weighted signal — without ever materialising y in HBM.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, ch, n = x.shape
+    B = bf_Tt.shape[0]
+    nb = n // B
+    n_state = bf_Wt.shape[1]
+    x2 = x.reshape(b * ch, n)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
+    kernel = _energy_kernel_factory(b, ch, n_state, weights)
+    z = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((b * ch, B), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n_state), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_state, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_state, n_state), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, B), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b * ch, n_state), jnp.float32)],
+        interpret=interpret,
+    )(x2, nv, bf_Tt, bf_Wt, bf_Ot, bf_ABt)
+    return z
+
+
 def block_iir_pallas(bf: BlockFilter, x: jnp.ndarray, interpret: bool = False):
     """Zero-initial-state filtering of (..., N) with N % block == 0.
 

@@ -59,7 +59,7 @@ def _consts(rate: int):
     )
 
 
-def _make_kernel(wchunk: int, nw: int, per: int):
+def _make_kernel(wchunk: int, nw: int, per: int, dtype=jnp.float32):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -96,13 +96,17 @@ def _make_kernel(wchunk: int, nw: int, per: int):
         zr = (wl + wr) * (0.5 * w)                        # (wchunk, N1, N2)
         zi = (wl - wr) * (0.5 * w)
 
-        hi = jax.lax.Precision.HIGHEST
+        hi = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+              else jax.lax.Precision.HIGHEST)
+
+        def mxu(a):
+            return a.astype(dtype)
 
         def fft(xr, xi):
 
             def lmm(f, x):  # f (N1,N1) applied over x's N1 axis
                 y = jax.lax.dot_general(
-                    x, f.T, (((1,), (0,)), ((), ())),
+                    mxu(x), mxu(f.T), (((1,), (0,)), ((), ())),
                     precision=hi, preferred_element_type=jnp.float32,
                 )                                          # (w, N2, N1)
                 return jnp.swapaxes(y, 1, 2)
@@ -114,7 +118,7 @@ def _make_kernel(wchunk: int, nw: int, per: int):
 
             def rmm(x, f):  # contract x's N2 axis with f (N2,N2)
                 return jax.lax.dot_general(
-                    x, f, (((2,), (0,)), ((), ())),
+                    mxu(x), mxu(f), (((2,), (0,)), ((), ())),
                     precision=hi, preferred_element_type=jnp.float32,
                 )                                          # (w, N1, N2->k2)
 
@@ -131,15 +135,20 @@ def _make_kernel(wchunk: int, nw: int, per: int):
             full double-reverse via exchange-matrix matmuls, then +1 rolls
             (k' = 16384-k maps k1>=1 to (128-k1, 127-k2) and the k1=0 row
             to (0, (128-k2) mod 128))."""
+            # exchange matmuls are exact permutations; HIGHEST keeps the
+            # permuted VALUES exactly f32 (Pallas supports only
+            # DEFAULT/HIGHEST dot precisions)
             ex = exch[:]  # (N1, N1) exchange matrix, E[i, j] = [j == N1-1-i]
             c1 = jax.lax.dot_general(
                 t, ex, (((1,), (0,)), ((), ())),
-                precision=hi, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )  # (w, k2, k1rev) -- contracted k1, result axes (w, k2, k1')
             c1 = jnp.swapaxes(c1, 1, 2)  # (w, k1rev, k2)
             c = jax.lax.dot_general(
                 c1, ex, (((2,), (0,)), ((), ())),
-                precision=hi, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )  # (w, k1rev, k2rev)
             d = pltpu.roll(c, 1, 1)       # shift k1 by +1
             e = pltpu.roll(d, 1, 2)       # row-0 needs one extra k2 shift
@@ -172,8 +181,9 @@ def _make_kernel(wchunk: int, nw: int, per: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rate", "wchunk", "interpret"))
-def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("rate", "wchunk", "interpret", "dtype"))
+def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = False,
+                       dtype=jnp.float32):
     """l, r: (B, N) channel signals -> (mid_db, side_db): (B, nw, BANDS).
 
     N must satisfy (N // HOP - K + 1) % wchunk == 0 after truncation; the
@@ -193,7 +203,7 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = Fals
     frames_l = l[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
     frames_r = r[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
 
-    kernel = _make_kernel(wchunk, nw, per)
+    kernel = _make_kernel(wchunk, nw, per, dtype)
     smem = pl.ANY
 
     grid = (b, nwc)
