@@ -8,8 +8,7 @@ and under a text backend (tests, headless screenshots).
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from soundscope_tpu.apps.themes import Color
 

@@ -15,7 +15,6 @@ the same surface the reference's serde Color accepts in .theme files.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import sys
 import tomllib

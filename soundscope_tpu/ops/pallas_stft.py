@@ -22,7 +22,6 @@ mode); used by bench/engine on TPU for the throughput spectrogram path.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
