@@ -130,7 +130,7 @@ def _make_kernel(wchunk: int, nw: int, per: int, dtype=jnp.float32):
             return jnp.swapaxes(t, 1, 2).reshape(wchunk, WIN)
 
         def negate_freq(t):
-            """Z[-k] in (w, k1, k2) layout, without lax.rev (unsupported):
+            """Z[-k] in (.., k1, k2) layout, without lax.rev (unsupported):
             full double-reverse via exchange-matrix matmuls, then +1 rolls
             (k' = 16384-k maps k1>=1 to (128-k1, 127-k2) and the k1=0 row
             to (0, (128-k2) mod 128))."""
@@ -151,14 +151,17 @@ def _make_kernel(wchunk: int, nw: int, per: int, dtype=jnp.float32):
             )  # (w, k1rev, k2rev)
             d = pltpu.roll(c, 1, 1)       # shift k1 by +1
             e = pltpu.roll(d, 1, 2)       # row-0 needs one extra k2 shift
-            k1_idx = jax.lax.broadcasted_iota(jnp.int32, (wchunk, N1, N2), 1)
+            k1_idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
             return jnp.where(k1_idx == 0, e, d)
 
         yr3, yi3 = fft(zr, zi)
         zr_f = flatten(yr3)
         zi_f = flatten(yi3)
-        zr_rev = flatten(negate_freq(yr3))
-        zi_rev = flatten(negate_freq(yi3))
+        # one negate pass for both tensors (stacked along the window axis)
+        both = jnp.concatenate([yr3, yi3], axis=0)
+        both_rev = negate_freq(both)
+        zr_rev = flatten(both_rev[:wchunk])
+        zi_rev = flatten(both_rev[wchunk:])
         p = zr_f * zr_f + zi_f * zi_f
         p_rev = zr_rev * zr_rev + zi_rev * zi_rev
         c = zr_f * zr_rev - zi_f * zi_rev
