@@ -13,8 +13,9 @@ the reference publishes no numbers (BASELINE.md).
 
 Prints ONE JSON line to stdout. Details go to stderr.
 
-Env knobs: BENCH_TRACKS, BENCH_SECONDS, BENCH_FFT (xla|matmul),
-BENCH_REPEATS, BENCH_DTYPE (f32|bf16 for the STFT matmuls).
+Env knobs: BENCH_TRACKS, BENCH_SECONDS, BENCH_REPEATS,
+BENCH_STFT (pallas|chunked|oneshot — pipeline for the spectrogram stage),
+BENCH_DTYPE (f32|bf16 for the STFT matmuls).
 """
 
 import functools
@@ -30,7 +31,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
+def build_bench(b, seconds, rate, dtype_name="bf16"):
     import jax
     import jax.numpy as jnp
 
@@ -73,17 +74,16 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
             from soundscope_tpu.ops.spectrum import _hann_np
             from soundscope_tpu.ops.stft import _pooled_gain_plan
 
-            lo_bin, used, per, gain, _ = _pooled_gain_plan(win, rate, 64)
+            gain, per, _ = _pooled_gain_plan(win, rate, 128)
             w = jnp.asarray(_hann_np(win))
             Ar, Ai, Br, Bi = fft_pack2(lwin * w, rwin * w, dtype=dtype)
-            sl = slice(lo_bin, lo_bin + used)
-            mr, mi = 0.5 * (Ar + Br)[..., sl], 0.5 * (Ai + Bi)[..., sl]
-            sr_, si = 0.5 * (Ar - Br)[..., sl], 0.5 * (Ai - Bi)[..., sl]
+            mr, mi = 0.5 * (Ar + Br), 0.5 * (Ai + Bi)
+            sr_, si = 0.5 * (Ar - Br), 0.5 * (Ai - Bi)
             g2 = jnp.asarray(gain) ** 2
 
             def pooled(re, im):
                 p = (re * re + im * im) * g2
-                pm = jnp.max(p.reshape(*p.shape[:-1], 64, per), axis=-1)
+                pm = jnp.max(p.reshape(*p.shape[:-1], 128, per), axis=-1)
                 return 10.0 * jnp.log10(jnp.maximum(pm, 1e-38))
 
             return jnp.max(pooled(mr, mi), axis=(-2, -1)), jnp.max(
@@ -93,7 +93,8 @@ def build_bench(b, seconds, rate, fft_impl, dtype_name="bf16"):
         mids, sides = jax.lax.map(one, jnp.arange(nchunks))
         return jnp.max(mids, axis=0), jnp.max(sides, axis=0)
 
-    stft_mode = os.environ.get("BENCH_STFT", "pallas")
+    default_stft = "pallas" if jax.default_backend() == "tpu" else "chunked"
+    stft_mode = os.environ.get("BENCH_STFT", default_stft)
 
     @jax.jit
     def stft_oneshot(x):
@@ -147,15 +148,16 @@ def main():
 
     b = int(os.environ.get("BENCH_TRACKS", "32"))
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
-    fft_impl = os.environ.get("BENCH_FFT", "matmul")
     dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     rate = 48000
 
     dev = jax.devices()[0]
-    log(f"device: {dev}, tracks={b}, seconds={seconds}, fft={fft_impl}, stft dtype={dtype_name}")
+    default_stft = "pallas" if jax.default_backend() == "tpu" else "chunked"
+    stft_mode = os.environ.get("BENCH_STFT", default_stft)
+    log(f"device: {dev}, tracks={b}, seconds={seconds}, stft={stft_mode}, dtype={dtype_name}")
 
-    run, make_inputs, n = build_bench(b, seconds, rate, fft_impl, dtype_name)
+    run, make_inputs, n = build_bench(b, seconds, rate, dtype_name)
     t0 = time.time()
     xd, nd = make_inputs()
     jax.block_until_ready(xd)

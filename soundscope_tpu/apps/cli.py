@@ -135,9 +135,18 @@ def cmd_tui(args) -> int:
 def cmd_bench(_args) -> int:
     import runpy
 
+    path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
+    )
+    if not os.path.exists(path):
+        print(
+            "bench.py not found — the bench subcommand needs a source "
+            "checkout (it lives at the repo root, not in the package)",
+            file=sys.stderr,
+        )
+        return 1
     sys.argv = ["bench.py"]
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"),
-                   run_name="__main__")
+    runpy.run_path(path, run_name="__main__")
     return 0
 
 

@@ -172,13 +172,18 @@ def analyze_batch_native(cfg: MeterConfig):
         nb = sums.shape[-1]
         nb_valid = n_valid // h
 
-        e_gate = L.gating_energies(sums, h)
-        m_gate = jnp.arange(e_gate.shape[-1])[None] < (
-            nb_valid[:, None] - (C.MOMENTARY_SUBBLOCKS - 1)
-        )
-        integrated = L.gated_loudness(e_gate, m_gate)
-        momentary = jnp.where(m_gate, L.loudness_from_energy(e_gate), L.NEG_INF)
-        n_mom = jnp.maximum(nb_valid - (C.MOMENTARY_SUBBLOCKS - 1), 0)
+        if nb >= C.MOMENTARY_SUBBLOCKS:
+            e_gate = L.gating_energies(sums, h)
+            m_gate = jnp.arange(e_gate.shape[-1])[None] < (
+                nb_valid[:, None] - (C.MOMENTARY_SUBBLOCKS - 1)
+            )
+            integrated = L.gated_loudness(e_gate, m_gate)
+            momentary = jnp.where(m_gate, L.loudness_from_energy(e_gate), L.NEG_INF)
+            n_mom = jnp.maximum(nb_valid - (C.MOMENTARY_SUBBLOCKS - 1), 0)
+        else:
+            integrated = jnp.full((b,), L.NEG_INF, jnp.float32)
+            momentary = jnp.zeros((b, 0), jnp.float32)
+            n_mom = jnp.zeros((b,), jnp.int32)
 
         if nb >= C.SHORTTERM_SUBBLOCKS:
             e_st = L.shortterm_energies(sums, h)

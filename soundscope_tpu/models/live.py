@@ -91,12 +91,13 @@ def live_frame(cfg: MeterConfig, fft_impl: str = "xla"):
     n_fft = C.DEFAULT_FFT_SIZE
 
     def frame(state: LiveState, gain_db=0.0) -> LiveFrame:
-        ring_n = state.ring.shape[0]
         ordered = jnp.roll(state.ring, -state.pos)   # oldest-first
+        # pseudo-stereo interleave: a rate*S-sample ring holds S/2 seconds
+        # of frames; analyze the NEWEST end (reference: tui.rs:1431-1437)
         mid = (ordered[0::2] + ordered[1::2]) * 0.5
         side = (ordered[0::2] - ordered[1::2]) * 0.5
-        half = mid.shape[0] // 2                      # 15 s of frames
-        fft_lo = half - n_fft
+        n_frames = mid.shape[0]
+        fft_lo = n_frames - n_fft
         _, v_mid = spectrum_points(
             jax.lax.dynamic_slice_in_dim(mid, fft_lo, n_fft),
             cfg.rate, fft_impl=fft_impl, gain_db=gain_db,
@@ -105,7 +106,7 @@ def live_frame(cfg: MeterConfig, fft_impl: str = "xla"):
             jax.lax.dynamic_slice_in_dim(side, fft_lo, n_fft),
             cfg.rate, fft_impl=fft_impl, gain_db=gain_db,
         )
-        wf_min, wf_max, _ = minmax_decimate(mid[:half], 15.0)
+        wf_min, wf_max, _ = minmax_decimate(mid, 15.0)
         return LiveFrame(
             fft_mid=v_mid,
             fft_side=v_side,
@@ -130,6 +131,7 @@ class LiveAnalyzer:
                  seconds: int = C.CAPTURE_RING_SECONDS):
         self.cfg = cfg or MeterConfig(max_blocks=0)
         self.fft_impl = fft_impl
+        self.seconds = seconds
         self.state = init_live_state(self.cfg, seconds)
         self._push = jax.jit(live_push(self.cfg))
         self._frame = jax.jit(live_frame(self.cfg, fft_impl))
@@ -144,7 +146,7 @@ class LiveAnalyzer:
         return jax.tree_util.tree_map(np.asarray, self._frame(self.state, gain_db))
 
     def reset(self) -> None:
-        self.state = init_live_state(self.cfg)
+        self.state = init_live_state(self.cfg, self.seconds)
 
     @property
     def spectrum_chart_x(self) -> np.ndarray:

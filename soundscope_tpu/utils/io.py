@@ -236,8 +236,18 @@ def decode_ffmpeg(path: str) -> DecodedAudio:
     if not m:
         raise DecodeError("could not parse ffmpeg stream info")
     rate = int(m.group(1))
-    layout = m.group(2).decode()
-    ch = {"mono": 1, "stereo": 2}.get(layout.split("(")[0].strip(), 2)
+    layout = m.group(2).decode().split("(")[0].strip()
+    layouts = {
+        "mono": 1, "stereo": 2, "2.1": 3, "3.0": 3, "quad": 4, "4.0": 4,
+        "5.0": 5, "5.1": 6, "6.1": 7, "7.1": 8, "downmix": 2,
+    }
+    if layout in layouts:
+        ch = layouts[layout]
+    else:
+        mc = re.match(r"(\d+) channels", layout)
+        if not mc:
+            raise DecodeError(f"unrecognised ffmpeg channel layout {layout!r}")
+        ch = int(mc.group(1))
     flat = np.frombuffer(probe.stdout, "<f4")
     frames = len(flat) // ch
     planar = np.ascontiguousarray(flat[: frames * ch].reshape(frames, ch).T)

@@ -56,3 +56,18 @@ def test_live_host_transfer_is_display_sized():
                 [f.fft_mid, f.fft_side, f.wf_min, f.wf_max, f.shortterm,
                  f.momentary, f.true_peak])
     assert total < 200_000  # ~KBs, not the 5.7 MB ring
+
+
+def test_live_frame_shows_newest_audio():
+    """Regression: the frame must analyze the NEWEST end of the ring
+    (reference: tui.rs:1431-1437), not stale middle samples."""
+    rate = 48000
+    la = LiveAnalyzer(MeterConfig(channels=2, rate=rate, max_blocks=0))
+    la.push(_pseudo_stereo(np.zeros(rate * 20, np.float32)))  # old silence
+    la.push(_pseudo_stereo(sine(2000.0, 1.0, rate, -10.0)))   # newest 1 s
+    f = la.frame()
+    xs = la.spectrum_chart_x
+    peak_x = xs[int(np.argmax(f.fft_mid))]
+    expect = (np.log10(2000) - np.log10(20)) / (np.log10(20000) - np.log10(20)) * 100
+    assert abs(peak_x - expect) < 2.0
+    assert float(f.fft_mid.max()) > -40.0
