@@ -96,6 +96,19 @@ def _print_table(rows: list[dict]) -> None:
 
 def cmd_analyze(args) -> int:
     rows = _analyze_paths(args.files)
+    if getattr(args, "spectrogram", None):
+        from soundscope_tpu.ops.stft import spectrogram
+        from soundscope_tpu.utils.io import decode_file
+
+        os.makedirs(args.spectrogram, exist_ok=True)
+        for r in rows:
+            if "error" in r:
+                continue
+            d = decode_file(r["file"])
+            spec = spectrogram(d.samples, d.rate)
+            out = os.path.join(args.spectrogram, d.title + ".spec.npz")
+            np.savez_compressed(out, **spec)
+            r["spectrogram"] = out
     if args.json:
         print(json.dumps(rows, indent=None if args.compact else 2))
     else:
@@ -162,6 +175,8 @@ def main(argv=None) -> int:
     a.add_argument("files", nargs="+")
     a.add_argument("--json", action="store_true")
     a.add_argument("--compact", action="store_true")
+    a.add_argument("--spectrogram", metavar="DIR",
+                   help="also write pooled mid/side spectrograms (.spec.npz)")
     a.set_defaults(fn=cmd_analyze)
 
     s = sub.add_parser("scan", help="recursively analyze a directory")

@@ -50,90 +50,6 @@ class AnalysisResult:
 
 
 @functools.lru_cache(maxsize=None)
-def analyze_fn(cfg: MeterConfig):
-    """Build the jittable whole-file analysis for a static config."""
-    bf = make_block_filter(kweight_cascade_ss(cfg.rate), cfg.block)
-    weights = jnp.asarray(channel_weights(cfg.channels), jnp.float32)
-    h = cfg.subblock
-
-    def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
-        """samples: (C, N) planar float32; n_valid: () int32."""
-        ch = samples.shape[0]
-        use_pallas = cfg.iir_impl == "pallas" or (
-            cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
-        )
-        if use_pallas and samples.shape[-1] % cfg.block == 0:
-            from soundscope_tpu.ops.pallas_iir import block_iir_pallas
-
-            y = block_iir_pallas(bf, samples)
-        else:
-            y, _ = block_iir(bf, samples, jnp.zeros((ch, 4), jnp.float32))
-        pos = jnp.arange(samples.shape[-1])
-        y = jnp.where(pos < n_valid, y, 0.0)
-        z = L.weighted_square(y, weights)
-        sums = L.subblock_sums(z, h)
-        nb = sums.shape[-1]
-        nb_valid = n_valid // h
-
-        if nb >= C.MOMENTARY_SUBBLOCKS:
-            e_gate = L.gating_energies(sums, h)
-            m_gate = jnp.arange(e_gate.shape[-1]) < nb_valid - (C.MOMENTARY_SUBBLOCKS - 1)
-            integrated = L.gated_loudness(e_gate, m_gate)
-            momentary = jnp.where(m_gate, L.loudness_from_energy(e_gate), L.NEG_INF)
-            n_mom = jnp.maximum(nb_valid - (C.MOMENTARY_SUBBLOCKS - 1), 0)
-        else:
-            integrated = jnp.float32(L.NEG_INF)
-            momentary = jnp.zeros((0,), jnp.float32)
-            n_mom = jnp.int32(0)
-
-        if nb >= C.SHORTTERM_SUBBLOCKS:
-            e_st = L.shortterm_energies(sums, h)
-            m_st = jnp.arange(e_st.shape[-1]) < nb_valid - (C.SHORTTERM_SUBBLOCKS - 1)
-            shortterm = jnp.where(m_st, L.loudness_from_energy(e_st), L.NEG_INF)
-            n_st = jnp.maximum(nb_valid - (C.SHORTTERM_SUBBLOCKS - 1), 0)
-            e_lra = e_st[..., :: C.LRA_HOP_SUBBLOCKS]
-            m_lra = m_st[..., :: C.LRA_HOP_SUBBLOCKS]
-            lra = L.loudness_range(e_lra, m_lra)
-        else:
-            shortterm = jnp.zeros((0,), jnp.float32)
-            n_st = jnp.int32(0)
-            lra = jnp.float32(0.0)
-
-        tp, sp = true_peak_masked(samples, n_valid, cfg.rate)
-        return AnalysisResult(
-            integrated_lufs=integrated, lra=lra,
-            momentary=momentary, shortterm=shortterm,
-            n_momentary=n_mom, n_shortterm=n_st,
-            true_peak=tp, sample_peak=sp,
-        )
-
-    return analyze
-
-
-def pad_bucket(n: int, minimum: int = 1 << 15) -> int:
-    """Compile-bucket length: next power of two (caps distinct programs)."""
-    b = minimum
-    while b < n:
-        b <<= 1
-    return b
-
-
-def analyze_array(samples: np.ndarray, cfg: MeterConfig) -> AnalysisResult:
-    """Host convenience: planar (C, N) numpy -> AnalysisResult (device)."""
-    ch, n = samples.shape
-    npad = pad_bucket(n)
-    x = np.zeros((ch, npad), np.float32)
-    x[:, :n] = samples
-    fn = jax.jit(analyze_fn(cfg))
-    return fn(jnp.asarray(x), jnp.int32(n))
-
-
-def analyze_batch_fn(cfg: MeterConfig):
-    """vmapped analyze: (B, C, N) samples, (B,) n_valid -> batched result."""
-    return jax.vmap(analyze_fn(cfg))
-
-
-@functools.lru_cache(maxsize=None)
 def analyze_batch_native(cfg: MeterConfig):
     """Natively-batched whole-file analysis: (B, C, N) x (B,) -> result.
 
@@ -215,3 +131,44 @@ def analyze_batch_native(cfg: MeterConfig):
         )
 
     return analyze
+
+
+@functools.lru_cache(maxsize=None)
+def analyze_fn(cfg: MeterConfig):
+    """Jittable single-track whole-file analysis: (C, N) x () -> result.
+
+    Thin wrapper over the natively-batched implementation (b = 1) so the
+    two paths cannot drift; see `analyze_batch_native` for the body.
+    """
+    batched = analyze_batch_native(cfg)
+
+    def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
+        res = batched(samples[None], jnp.reshape(n_valid, (1,)))
+        return jax.tree_util.tree_map(lambda v: v[0], res)
+
+    return analyze
+
+
+def pad_bucket(n: int, minimum: int = 1 << 15) -> int:
+    """Compile-bucket length: next power of two (caps distinct programs)."""
+    b = minimum
+    while b < n:
+        b <<= 1
+    return b
+
+
+def analyze_array(samples: np.ndarray, cfg: MeterConfig) -> AnalysisResult:
+    """Host convenience: planar (C, N) numpy -> AnalysisResult (device)."""
+    ch, n = samples.shape
+    npad = pad_bucket(n)
+    x = np.zeros((ch, npad), np.float32)
+    x[:, :n] = samples
+    fn = jax.jit(analyze_fn(cfg))
+    return fn(jnp.asarray(x), jnp.int32(n))
+
+
+def analyze_batch_fn(cfg: MeterConfig):
+    """vmapped analyze: (B, C, N) samples, (B,) n_valid -> batched result."""
+    return jax.vmap(analyze_fn(cfg))
+
+

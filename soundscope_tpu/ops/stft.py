@@ -74,6 +74,39 @@ def _pooled_gain_plan(n: int, rate: int, pool: int):
     return gain_full.astype(np.float32), per, centers
 
 
+def spectrogram(samples_planar, rate: int, use_pallas: str = "auto"):
+    """Host convenience: planar (C, N) -> dict of pooled display
+    spectrograms (the batch/offline product; Pallas kernel on TPU).
+
+    Returns {"chart_x": (pool,), "mid_db": (nw, pool), "side_db": ...,
+    "hop": 2048, "win": 16384, "rate": rate} as numpy arrays.
+    """
+    import jax
+
+    x = np.asarray(samples_planar, np.float32)
+    if x.shape[0] >= 2:
+        l, r = x[0], x[1]
+    else:
+        l = r = x[0]
+    lj, rj = jnp.asarray(l[None]), jnp.asarray(r[None])
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas == "yes" or (use_pallas == "auto" and on_tpu):
+        from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
+
+        mid, side = stft_pooled_pallas(lj, rj, rate)
+        _, per, centers = _pooled_gain_plan(C.DEFAULT_FFT_SIZE, rate, 128)
+    else:
+        centers, mid, side = stft_midside_display(lj, rj, rate)
+    return {
+        "chart_x": np.asarray(centers),
+        "mid_db": np.asarray(mid[0]),
+        "side_db": np.asarray(side[0]),
+        "hop": 2048,
+        "win": C.DEFAULT_FFT_SIZE,
+        "rate": rate,
+    }
+
+
 def stft_midside_display(
     l: jnp.ndarray,
     r: jnp.ndarray,

@@ -28,11 +28,16 @@ def test_engine_pallas_impl_flag(rng):
 
     Uses interpret mode via monkeypatching since tests run on CPU."""
     import soundscope_tpu.ops.pallas_iir as P
+    import soundscope_tpu.ops.pallas_truepeak as TP
     from soundscope_tpu.core.config import MeterConfig
     from soundscope_tpu.models.engine import analyze_fn
 
     orig = P.block_iir_pallas
+    orig_e = P.kweight_energy_pallas
+    orig_t = TP.true_peak_pallas
     P.block_iir_pallas = lambda bf, x, interpret=False: orig(bf, x, interpret=True)
+    P.kweight_energy_pallas = lambda *a, **k: orig_e(*a, **{**k, "interpret": True})
+    TP.true_peak_pallas = lambda *a, **k: orig_t(*a, **{**k, "interpret": True})
     try:
         x = (rng.standard_normal((2, 1 << 16)) * 0.1).astype(np.float32)
         nv = jnp.int32((1 << 16) - 500)
@@ -45,3 +50,5 @@ def test_engine_pallas_impl_flag(rng):
         assert abs(float(r1.integrated_lufs) - float(r2.integrated_lufs)) < 1e-3
     finally:
         P.block_iir_pallas = orig
+        P.kweight_energy_pallas = orig_e
+        TP.true_peak_pallas = orig_t
