@@ -144,9 +144,13 @@ class App:
         self.chart_rect: Rect | None = None
         self.needs_render = True
 
-        # microphone
+        # microphone: host capture ring + device-resident live pipeline
+        # (models/live.py) fed in fixed quanta so jit compiles once
         self.ring = make_ring(44100 * 30)
         self.stream = None
+        self.live = None
+        self._live_consumed = 0
+        self._live_quantum = 2048
 
         self.player.start()
         if start_file:
@@ -219,7 +223,44 @@ class App:
         self.needs_render = True
 
     def analyze_microphone_input(self):
-        """Mic-mode per-tick analysis (src/tui.rs:1427-1480)."""
+        """Mic-mode per-tick analysis (src/tui.rs:1427-1480).
+
+        When the device-resident live pipeline is available (self.live),
+        only the NEW capture samples cross to the device each tick and the
+        whole frame (spectrum, waveform, LUFS) is one jitted program;
+        otherwise fall back to the reference-shaped host-snapshot path."""
+        if self.live is not None:
+            total = self.ring.total_pushed
+            q = self._live_quantum
+            pushed = False
+            if total - self._live_consumed >= q:
+                snap = self.ring.snapshot()
+                behind = total - self._live_consumed
+                if behind > len(snap):  # fell behind the ring; skip ahead
+                    self._live_consumed = total - len(snap) // q * q
+                    behind = total - self._live_consumed
+                while behind >= q:
+                    lo = len(snap) - behind
+                    self.live.push(snap[lo: lo + q])
+                    self._live_consumed += q
+                    behind -= q
+                    pushed = True
+            if pushed:
+                f = self.live.frame()
+                xs = self.live.spectrum_chart_x
+                self.fft_mid = np.stack([xs, f.fft_mid], axis=-1)
+                self.fft_side = np.stack([xs, f.fft_side], axis=-1)
+                w = np.arange(len(f.wf_min), dtype=np.float64)
+                pts = np.empty((2 * len(w), 2))
+                pts[0::2, 0] = w
+                pts[1::2, 0] = w
+                pts[0::2, 1] = f.wf_min
+                pts[1::2, 1] = f.wf_max
+                self.mic_waveform = pts
+                st = float(f.shortterm)
+                self.lufs = self.lufs[1:] + [st if np.isfinite(st) else -100.0]
+                self.needs_render = True
+            return
         buf = self.ring.snapshot()
         rate = self.device_analyzer.sample_rate
         mid = (buf[0::2] + buf[1::2]) * 0.5
@@ -246,6 +287,14 @@ class App:
         self.ring = make_ring(rate * 30)
         self.device_analyzer.create_loudness_meter(2, rate)
         self.stream = build_input_stream(self.ring, rate, self.device_name)
+        try:
+            from soundscope_tpu.core.config import MeterConfig
+            from soundscope_tpu.models.live import LiveAnalyzer
+
+            self.live = LiveAnalyzer(MeterConfig(channels=2, rate=rate, max_blocks=0))
+            self._live_consumed = 0
+        except Exception:
+            self.live = None
         self.fft_gain_db = 0.0
         self.lufs = [-100.0] * LUFS_HISTORY
         self.show_devices = False

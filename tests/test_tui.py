@@ -205,3 +205,23 @@ def test_seek_and_playpause_reset_meter(app, song):
     assert app.lufs[-1] == -100.0
     app.handle_key("right")  # seek resets meter (not history)
     assert app.file_analyzer.get_integrated_lufs() == -np.inf
+
+
+def test_mic_mode_uses_device_resident_live_path(app):
+    """After device selection the mic path runs through LiveAnalyzer
+    (one jitted push per quantum + one jitted frame)."""
+    app.handle_key("m")
+    assert app.live is not None
+    rate = 44100
+    t = np.arange(rate * 4) / rate
+    mono = (0.4 * np.sin(2 * np.pi * 700.0 * t)).astype(np.float32)
+    pseudo = np.zeros(2 * len(mono), np.float32)
+    pseudo[0::2] = mono
+    app.ring.push(pseudo)
+    app.analyze_microphone_input()
+    assert app.fft_mid is not None and app.fft_mid.shape[1] == 2
+    peak_x = app.fft_mid[np.argmax(app.fft_mid[:, 1]), 0]
+    expect = (np.log10(700) - np.log10(20)) / (np.log10(20000) - np.log10(20)) * 100
+    assert abs(peak_x - expect) < 2.0
+    assert app.mic_waveform is not None
+    assert app.lufs[-1] > -100.0
