@@ -170,9 +170,12 @@ class App:
 
     def receive_audio_file(self, handle):
         self.audio_file = handle
-        self.waveform_window = min(15.0, max(1.0, handle.duration))
+        if handle.duration < 15.0:
+            self.waveform_window = max(1.0, handle.duration)
+        # reference decimates the INTERLEAVED buffer over the full duration
+        # (min/max spans both channels; 1 ms buckets) — tui.rs:1213-1216
         self.file_waveform = Analyzer.get_waveform(
-            handle.mid, min(handle.duration, 1e9)
+            handle.interleaved(), handle.duration
         )
         self.file_analyzer.create_loudness_meter(2, handle.rate)
         lufs_i = self.file_analyzer.calculate_integrated_lufs(
@@ -215,8 +218,10 @@ class App:
             )
         inter = self.audio_file.interleaved()
         hi = min(frames * 2, len(inter))
-        lo = max(hi - FFT_SIZE, 0)
-        if hi > lo:
+        lo = hi - FFT_SIZE
+        # reference skips until a full 16384-sample window exists
+        # (lufs_left_bound != 0, tui.rs:1530)
+        if lo > 0:
             self.file_analyzer.add_samples(inter[lo:hi])
             st = self.file_analyzer.get_shortterm_lufs()
             self.lufs = self.lufs[1:] + [st if np.isfinite(st) else -100.0]
