@@ -86,3 +86,16 @@ def test_bf16_display_accuracy(rng):
     d = np.abs(np.asarray(m32) - np.asarray(m16))
     d = d[np.asarray(m32) > -140]  # ignore floor bands
     assert d.max() < 0.1  # dB — invisible at display resolution
+
+
+@pytest.mark.parametrize("rate", [44100, 96000])
+def test_pallas_stft_other_rates(rng, rate):
+    """Gain plan (display range, pink comp) adapts per rate; the Pallas
+    and XLA paths must agree at every supported rate."""
+    n = 2048 * 24
+    l = (rng.standard_normal((1, n)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((1, n)) * 0.3).astype(np.float32)
+    mid_pl, _ = stft_pooled_pallas(jnp.asarray(l), jnp.asarray(r), rate, interpret=True)
+    _, mid_ref, _ = stft_midside_display(jnp.asarray(l), jnp.asarray(r), rate)
+    nw = mid_pl.shape[1]
+    assert np.abs(np.asarray(mid_pl) - np.asarray(mid_ref[:, :nw])).max() < 1e-3
