@@ -117,7 +117,9 @@ def analyze_batch_native(cfg: MeterConfig):
             n_st = jnp.zeros((b,), jnp.int32)
             lra = jnp.zeros((b,), jnp.float32)
 
-        if use_pallas and n % 512 == 0:
+        from soundscope_tpu.ops.pallas_truepeak import pick_block
+
+        if use_pallas and pick_block(n) is not None:
             from soundscope_tpu.ops.pallas_truepeak import true_peak_pallas
 
             tp, sp = true_peak_pallas(samples, n_valid, cfg.rate)

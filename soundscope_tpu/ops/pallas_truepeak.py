@@ -29,10 +29,31 @@ import numpy as np
 from soundscope_tpu.core import constants as C
 from soundscope_tpu.ops.truepeak import _polyphase_taps
 
-BLK = 512  # samples per grid step (lane-dim tile)
+BLK = 512  # preferred samples per grid step (lane-dim tile)
 
 
-def _make_kernel(factor: int, nblocks: int, rows: int):
+def pick_block(n: int) -> int | None:
+    """Largest supported tile that divides n (None -> use the XLA path)."""
+    for blk in (512, 384, 256, 128):
+        if n % blk == 0:
+            return blk
+    return None
+
+
+def _row_tile(rows: int) -> int:
+    """Largest divisor of rows <= 256 that satisfies the 8-sublane tiling
+    (VMEM budget for the shifted tiles); falls back to the full row count
+    (block == array dim is always legal)."""
+    if rows <= 256:
+        return rows
+    best = None
+    for t in range(8, 257, 8):
+        if rows % t == 0:
+            best = t
+    return best or rows
+
+
+def _make_kernel(factor: int, nblocks: int, rows: int, blk: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -40,8 +61,13 @@ def _make_kernel(factor: int, nblocks: int, rows: int):
     F, Kp = h_np.shape
     ctx = Kp - 1                             # left context samples (12)
 
+    BLK = blk
+
     def kernel(x_ref, nv_ref, tp_ref, sp_ref, prev, run_tp, run_sp):
-        j = pl.program_id(0)
+        # grid = (row_tiles, nblocks): j (time) iterates fastest, so the
+        # carried scratch belongs to one row tile at a time and resets at
+        # its first time block.
+        j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
@@ -106,7 +132,8 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
     factor = C.true_peak_factor(rate)
     batch = x.shape[:-1]
     n = x.shape[-1]
-    assert n % BLK == 0, "pallas true peak requires N % 512 == 0"
+    blk = pick_block(n)
+    assert blk is not None, "pallas true peak requires N divisible by 128"
     rows = int(np.prod(batch) or 1)
     x2 = x.reshape(rows, n)
     nva = jnp.asarray(n_valid, jnp.int32)
@@ -115,7 +142,7 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
     else:
         # per-track n_valid (leading batch dim) expands over the rest
         nv = jnp.repeat(nva.reshape(-1), rows // nva.size).reshape(rows, 1)
-    nblocks = n // BLK
+    nblocks = n // blk
 
     if factor == 1:
         pos = jnp.arange(n)[None, :]
@@ -123,26 +150,27 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
         sp = jnp.max(jnp.abs(xm), axis=-1).reshape(batch)
         return sp, sp
 
-    kernel, ctx = _make_kernel(factor, nblocks, rows)
+    rt = _row_tile(rows)
+    kernel, ctx = _make_kernel(factor, nblocks, rt, blk)
     tp, sp = pl.pallas_call(
         kernel,
-        grid=(nblocks,),
+        grid=(rows // rt, nblocks),
         in_specs=[
-            pl.BlockSpec((rows, BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, blk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((rows, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, BLK), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rt, blk), jnp.float32),
+            pltpu.VMEM((rt, 1), jnp.float32),
+            pltpu.VMEM((rt, 1), jnp.float32),
         ],
         interpret=interpret,
     )(x2, nv)

@@ -225,3 +225,28 @@ def test_mic_mode_uses_device_resident_live_path(app):
     assert abs(peak_x - expect) < 2.0
     assert app.mic_waveform is not None
     assert app.lufs[-1] > -100.0
+
+
+def test_transport_seek_accuracy(app, song):
+    """The reference's known defects are rapid-seek playhead misplacement
+    and gradual drift (README:170-172); the sample-accurate transport must
+    land seeks exactly and not drift while paused."""
+    import time as _time
+
+    app.select_audio_file(song)
+    app.handle_key("space")   # pause (file auto-plays on load)
+    tr = app.player.transport
+    _time.sleep(0.05)
+    if tr.playing():          # ordering race: ensure paused
+        tr.pause()
+    p0 = tr.position()
+    for _ in range(3):
+        app.handle_key("right")
+    _time.sleep(0.1)
+    p1 = tr.position()
+    assert p1 == min(p0 + 3 * 5 * 44100, 3 * 44100)  # clamped at EOF
+    _time.sleep(0.15)
+    assert tr.position() == p1  # no drift while paused
+    app.handle_key("left")
+    _time.sleep(0.1)
+    assert tr.position() == max(p1 - 5 * 44100, 0)
