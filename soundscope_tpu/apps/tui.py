@@ -154,6 +154,10 @@ class App:
 
         self.player.start()
         if start_file:
+            # reference canonicalizes the startup file and opens the
+            # explorer at its folder (main.rs:52-61)
+            start_file = os.path.abspath(start_file)
+            self.explorer.cwd = os.path.dirname(start_file) or os.getcwd()
             self.select_audio_file(start_file)
 
     # ------------------------------------------------------------ actions --
