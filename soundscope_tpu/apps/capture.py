@@ -52,6 +52,13 @@ class PyRing:
         with self._lock:
             return np.concatenate([self._buf[self._pos:], self._buf[: self._pos]])
 
+    def snapshot_with_total(self):
+        """Atomic (snapshot, total_pushed) — consumers tracking a cursor
+        need both from the same instant."""
+        with self._lock:
+            snap = np.concatenate([self._buf[self._pos:], self._buf[: self._pos]])
+            return snap, self._total
+
     @property
     def total_pushed(self) -> int:
         with self._lock:

@@ -36,21 +36,42 @@ def _analyze_paths(paths: list[str]) -> list[dict]:
     from soundscope_tpu.models.engine import analyze_batch_native, pad_bucket
     from soundscope_tpu.utils.io import DecodeError, decode_file
 
-    decoded = []
     results = []
+    # Bucket by (channels, rate, padded length) for one compile per bucket;
+    # flush buckets incrementally so peak memory is one bucket of decoded
+    # audio, not the whole library.
+    buckets: dict[tuple, list] = {}
+    FLUSH_AT = 64
+
+    def flush(key):
+        items = buckets.pop(key)
+        _analyze_bucket(key, items, results)
+
     for p in paths:
         try:
-            decoded.append((p, decode_file(p)))
+            d = decode_file(p)
         except (DecodeError, OSError) as e:
             results.append({"file": p, "error": str(e)})
+            continue
+        key = (d.channels, d.rate, pad_bucket(d.samples.shape[1]))
+        buckets.setdefault(key, []).append((p, d))
+        if len(buckets[key]) >= FLUSH_AT:
+            flush(key)
+    for key in list(buckets):
+        flush(key)
+    order = {p: i for i, p in enumerate(paths)}
+    return sorted(results, key=lambda r: order.get(r["file"], 1 << 30))
 
-    # Bucket by (channels, rate, padded length) for one compile per bucket.
-    buckets: dict[tuple, list] = {}
-    for p, d in decoded:
-        npad = pad_bucket(d.samples.shape[1])
-        buckets.setdefault((d.channels, d.rate, npad), []).append((p, d))
 
-    for (ch, rate, npad), items in buckets.items():
+def _analyze_bucket(key, items, results) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from soundscope_tpu.core.config import MeterConfig
+    from soundscope_tpu.models.engine import analyze_batch_native
+
+    if True:
+        (ch, rate, npad) = key
         cfg = MeterConfig(channels=ch, rate=rate, max_blocks=0)
         xs = np.zeros((len(items), ch, npad), np.float32)
         nv = np.zeros(len(items), np.int32)
@@ -66,6 +87,8 @@ def _analyze_paths(paths: list[str]) -> list[dict]:
         for i, (p, d) in enumerate(items):
             with np.errstate(divide="ignore"):
                 tp_db = 20.0 * np.log10(tp[i].max())
+            # silence -> -inf, which is not valid JSON; report null
+            tp_db = float(tp_db) if np.isfinite(tp_db) else None
             results.append({
                 "file": p,
                 "title": d.title,
@@ -75,11 +98,9 @@ def _analyze_paths(paths: list[str]) -> list[dict]:
                 "integrated_lufs": round(float(integ[i]), 2),
                 "lra_lu": round(float(lra[i]), 2),
                 "true_peak": [round(float(v), 4) for v in tp[i]],
-                "true_peak_dbtp": round(float(tp_db), 2),
+                "true_peak_dbtp": round(tp_db, 2) if tp_db is not None else None,
                 "sample_peak": [round(float(v), 4) for v in sp[i]],
             })
-    order = {p: i for i, p in enumerate(paths)}
-    return sorted(results, key=lambda r: order.get(r["file"], 1 << 30))
 
 
 def _print_table(rows: list[dict]) -> None:

@@ -60,13 +60,18 @@ class AudioFileHandle:
         self.title = decoded.title
         self.duration = decoded.duration
         self.channels = min(decoded.channels, 2) or 1
+        self._interleaved = None
 
     def interleaved(self) -> np.ndarray:
-        if self.decoded.channels >= 2:
-            two = self.decoded.samples[:2]
-        else:
-            two = np.repeat(self.decoded.samples[:1], 2, axis=0)
-        return np.ascontiguousarray(two.T).reshape(-1)
+        # cached: callers slice this ~21x/sec during playback, and a fresh
+        # transpose+copy of an hour-long file per tick would stall the UI
+        if self._interleaved is None:
+            if self.decoded.channels >= 2:
+                two = self.decoded.samples[:2]
+            else:
+                two = np.repeat(self.decoded.samples[:1], 2, axis=0)
+            self._interleaved = np.ascontiguousarray(two.T).reshape(-1)
+        return self._interleaved
 
 
 class Transport:
@@ -136,12 +141,12 @@ class Transport:
 
     def _report(self, force: bool = False):
         p = self.position()
-        step = p // POSITION_EVERY
+        # the reference reports every 2048 INTERLEAVED samples (1024 stereo
+        # frames, ~43 Hz at 44.1 kHz) — audio_player.rs:65
+        step = (p * 2) // POSITION_EVERY
         if force or step != self._last_report:
             self._last_report = step
             try:
-                # position is in interleaved samples (frames * channels=2),
-                # like rodio's Iterator counting every sample
                 self._pos_q.put_nowait(p * 2)
             except queue.Full:
                 pass

@@ -149,6 +149,7 @@ class App:
         self.ring = make_ring(44100 * 30)
         self.stream = None
         self.live = None
+        self.live_stats = None
         self._live_consumed = 0
         self._live_quantum = 2048
 
@@ -239,12 +240,13 @@ class App:
         whole frame (spectrum, waveform, LUFS) is one jitted program;
         otherwise fall back to the reference-shaped host-snapshot path."""
         if self.live is not None:
-            total = self.ring.total_pushed
             q = self._live_quantum
             pushed = False
-            if total - self._live_consumed >= q:
-                snap = self.ring.snapshot()
-                behind = total - self._live_consumed
+            # snapshot and total must come from the same instant, else the
+            # capture thread races the cursor (dropped/duplicated samples)
+            snap, total = self.ring.snapshot_with_total()
+            behind = total - self._live_consumed
+            if behind >= q:
                 if behind > len(snap):  # fell behind the ring; skip ahead
                     self._live_consumed = total - len(snap) // q * q
                     behind = total - self._live_consumed
@@ -256,6 +258,7 @@ class App:
                     pushed = True
             if pushed:
                 f = self.live.frame()
+                self.live_stats = f
                 xs = self.live.spectrum_chart_x
                 self.fft_mid = np.stack([xs, f.fft_mid], axis=-1)
                 self.fft_side = np.stack([xs, f.fft_side], axis=-1)
@@ -301,6 +304,7 @@ class App:
             from soundscope_tpu.models.live import LiveAnalyzer
 
             self.live = LiveAnalyzer(MeterConfig(channels=2, rate=rate, max_blocks=0))
+            self.live_stats = None
             self._live_consumed = 0
         except Exception:
             self.live = None
@@ -412,9 +416,11 @@ class App:
             return
 
         if key.isdigit() and (self.show_devices or self.show_themes):
-            # digit-select only while a list popup is open (tui.rs:1629-1671)
+            # digit-select only while a list popup is open; devices are
+            # 1-based with '0' ignored, themes 0-based (tui.rs:1629-1671)
             if self.show_devices:
-                self.select_device(int(key))
+                if key != "0":
+                    self.select_device(int(key) - 1)
             else:
                 self.apply_theme_selection(int(key))
             return
@@ -424,18 +430,25 @@ class App:
             if self.show_explorer:
                 self.explorer.refresh()
         elif key == "space":
-            # play/pause + reset meter & history (tui.rs:1581-1591)
+            # play/pause; meter & history reset only on the transition TO
+            # playing ("lufs update only on play, not pause",
+            # tui.rs:1581-1591)
+            will_play = not self.player.transport.playing()
             self.player.send(PlayerCommand(Command.CHANGE_STATE))
-            self.file_analyzer.reset()
-            self.lufs = [-100.0] * LUFS_HISTORY
-        elif key == "right":
-            self.player.send(PlayerCommand(Command.MOVE_RIGHT))
-            self.file_analyzer.reset()
-            self.flash["right"] = time.monotonic()
-        elif key == "left":
-            self.player.send(PlayerCommand(Command.MOVE_LEFT))
-            self.file_analyzer.reset()
-            self.flash["left"] = time.monotonic()
+            if will_play:
+                self.file_analyzer.reset()
+                self.lufs = [-100.0] * LUFS_HISTORY
+        elif key in ("right", "left"):
+            # gated on Player mode with no list popup (tui.rs:1594-1619);
+            # seek resets both the meter and the history
+            if self.mode == Mode.PLAYER and not (
+                self.show_devices or self.show_explorer or self.show_themes
+            ):
+                cmd = Command.MOVE_RIGHT if key == "right" else Command.MOVE_LEFT
+                self.player.send(PlayerCommand(cmd))
+                self.file_analyzer.reset()
+                self.lufs = [-100.0] * LUFS_HISTORY
+                self.flash[key] = time.monotonic()
         elif key == "1":
             self.show_waveform = not self.show_waveform
         elif key == "2":
@@ -646,13 +659,21 @@ class App:
                    (0.0, 300.0), (-50.0, 0.0), bg,
                    y_labels=[Span("-50", th.axis), Span("0", th.axis)])
 
-        analyzer = (self.file_analyzer if self.mode == Mode.PLAYER
-                    else self.device_analyzer)
-        integrated = analyzer.get_integrated_lufs()
+        if self.mode == Mode.MICROPHONE and self.live_stats is not None:
+            f = self.live_stats
+            integrated = float(f.integrated)
+            rng = float(f.lra)
+            tp = np.asarray(f.true_peak)
+            tp_l = float(tp[0])
+            tp_r = float(tp[1]) if tp.shape[0] > 1 else tp_l
+        else:
+            analyzer = (self.file_analyzer if self.mode == Mode.PLAYER
+                        else self.device_analyzer)
+            integrated = analyzer.get_integrated_lufs()
+            rng = analyzer.get_loudness_range()
+            tp_l, tp_r = analyzer.get_true_peak()
         if not np.isfinite(integrated):
             integrated = -50.0  # -inf guard (src/tui.rs:926-930)
-        rng = analyzer.get_loudness_range()
-        tp_l, tp_r = analyzer.get_true_peak()
         boxes = [
             ("Short term", [f"{self.lufs[-1]:05.1f} LUFS"]),
             ("Integrated", [f"{integrated:05.1f} LUFS"]),

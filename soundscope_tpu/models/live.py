@@ -53,6 +53,8 @@ class LiveFrame:
     wf_max: jnp.ndarray        # (W,)
     shortterm: jnp.ndarray     # () LUFS
     momentary: jnp.ndarray     # () LUFS
+    integrated: jnp.ndarray    # () LUFS
+    lra: jnp.ndarray           # () LU
     true_peak: jnp.ndarray     # (C,) linear
 
 
@@ -114,6 +116,8 @@ def live_frame(cfg: MeterConfig, fft_impl: str = "xla"):
             wf_max=wf_max,
             shortterm=M.shortterm_lufs(cfg, state.meter),
             momentary=M.momentary_lufs(cfg, state.meter),
+            integrated=M.integrated_lufs(cfg, state.meter),
+            lra=M.loudness_range_lu(cfg, state.meter),
             true_peak=state.meter.true_peak,
         )
 

@@ -57,6 +57,10 @@ def _load():
         ctypes.c_int64,
     ]
     lib.ss_ring_snapshot.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.ss_ring_snapshot_total.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)
+    ]
+    lib.ss_ring_snapshot_total.restype = ctypes.c_uint64
     lib.ss_ring_total.argtypes = [ctypes.c_void_p]
     lib.ss_ring_total.restype = ctypes.c_uint64
     lib._DecodedWav = DecodedWav
@@ -119,6 +123,13 @@ class NativeRing:
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         )
         return out
+
+    def snapshot_with_total(self):
+        out = np.empty(self.capacity, np.float32)
+        total = self._lib.ss_ring_snapshot_total(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return out, int(total)
 
     @property
     def total_pushed(self) -> int:

@@ -185,6 +185,17 @@ void ss_ring_snapshot(void* h, float* out) {
   memcpy(out + (cap - r->pos), r->buf.data(), r->pos * sizeof(float));
 }
 
+// Snapshot and total under ONE lock (cursor-tracking consumers need both
+// from the same instant).
+uint64_t ss_ring_snapshot_total(void* h, float* out) {
+  Ring* r = (Ring*)h;
+  std::lock_guard<std::mutex> lock(r->mu);
+  size_t cap = r->buf.size();
+  memcpy(out, r->buf.data() + r->pos, (cap - r->pos) * sizeof(float));
+  memcpy(out + (cap - r->pos), r->buf.data(), r->pos * sizeof(float));
+  return r->total;
+}
+
 uint64_t ss_ring_total(void* h) {
   Ring* r = (Ring*)h;
   std::lock_guard<std::mutex> lock(r->mu);

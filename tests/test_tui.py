@@ -198,13 +198,26 @@ def test_mouse_tooltip(app, song):
 
 
 def test_seek_and_playpause_reset_meter(app, song):
-    app.select_audio_file(song)
+    import time as _time
+
+    app.select_audio_file(song)  # auto-plays
     app.analyze_audio_file_samples(44100 * 2)
     assert app.lufs[-1] > -100.0
-    app.handle_key("space")
+    app.handle_key("space")  # pause: chart stays frozen (tui.rs:1586-1591)
+    assert app.lufs[-1] > -100.0
+    _time.sleep(0.05)
+    app.handle_key("space")  # resume: meter + history reset
     assert app.lufs[-1] == -100.0
-    app.handle_key("right")  # seek resets meter (not history)
+    app.analyze_audio_file_samples(44100 * 2)
+    app.handle_key("right")  # seek resets meter AND history
+    assert app.lufs[-1] == -100.0
     assert app.file_analyzer.get_integrated_lufs() == -np.inf
+    # seek is ignored while a popup is open or in mic mode (tui.rs:1594+)
+    app.analyze_audio_file_samples(44100 * 2)
+    app.show_themes = True
+    app.handle_key("right")
+    assert app.lufs[-1] > -100.0
+    app.show_themes = False
 
 
 def test_mic_mode_uses_device_resident_live_path(app):
