@@ -116,3 +116,41 @@ def test_mid_side(tmp_path, sine_planar):
     mid, side = dec.mid_side()
     assert np.allclose(mid, (sine_planar[0] + sine_planar[1]) / 2, atol=1e-7)
     assert np.allclose(side, (sine_planar[0] - sine_planar[1]) / 2, atol=1e-7)
+
+
+def test_decoder_fuzz_no_crashes(rng):
+    """Random/truncated bytes must raise DecodeError, never crash."""
+    from soundscope_tpu.utils.io import decode_aiff, decode_wav
+    import pytest as _pytest
+
+    for i in range(60):
+        blob = rng.integers(0, 256, rng.integers(0, 400), dtype=np.uint8).tobytes()
+        if i % 3 == 0:
+            blob = b"RIFF" + blob
+        elif i % 3 == 1:
+            blob = b"FORM" + blob[:4] + b"AIFF" + blob
+        import tempfile, os as _os
+
+        fd, p = tempfile.mkstemp()
+        _os.write(fd, blob)
+        _os.close(fd)
+        try:
+            for fn in (decode_wav, decode_aiff):
+                try:
+                    fn(p)
+                except Exception as e:
+                    assert isinstance(e, Exception)  # no segfault/hang
+        finally:
+            _os.unlink(p)
+
+
+def test_truncated_real_wav(tmp_path, sine_planar):
+    from soundscope_tpu.utils.io import decode_file, write_wav
+
+    p = str(tmp_path / "t.wav")
+    write_wav(p, sine_planar, 48000)
+    data = open(p, "rb").read()
+    # truncate mid-data: decoder should return the frames that exist
+    open(p, "wb").write(data[: len(data) // 2])
+    dec = decode_file(p, prefer_native=False)
+    assert 0 < dec.samples.shape[1] < sine_planar.shape[1]
