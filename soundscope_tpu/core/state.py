@@ -47,10 +47,10 @@ class MeterState:
     lra_energy: jnp.ndarray        # (max_lra_blocks,) 3 s / 1 s-hop energies
     lra_count: jnp.ndarray         # int32
 
-    # Histogram gating histories (always maintained; exact-duration-unbounded).
-    block_hist: jnp.ndarray        # (HIST_BINS,) f32 counts
-    block_hist_sum: jnp.ndarray    # f32 sum of in-range energies
-    lra_hist: jnp.ndarray          # (HIST_BINS,) f32 counts
+    # Histogram gating histories (always maintained; unbounded duration —
+    # int32 counts so they do not saturate like f32 would at 2^24 blocks).
+    block_hist: jnp.ndarray        # (HIST_BINS,) int32 counts
+    lra_hist: jnp.ndarray          # (HIST_BINS,) int32 counts
 
     # Peaks.
     true_peak: jnp.ndarray         # (channels,) linear true peak since reset
@@ -75,9 +75,8 @@ def init_meter_state(cfg: MeterConfig) -> MeterState:
         block_count=jnp.zeros((), jnp.int32),
         lra_energy=jnp.zeros((max_l,), jnp.float32),
         lra_count=jnp.zeros((), jnp.int32),
-        block_hist=jnp.zeros((C.HIST_BINS,), jnp.float32),
-        block_hist_sum=jnp.zeros((), jnp.float32),
-        lra_hist=jnp.zeros((C.HIST_BINS,), jnp.float32),
+        block_hist=jnp.zeros((C.HIST_BINS,), jnp.int32),
+        lra_hist=jnp.zeros((C.HIST_BINS,), jnp.int32),
         true_peak=jnp.zeros((ch,), jnp.float32),
         sample_peak=jnp.zeros((ch,), jnp.float32),
         tp_tail=jnp.zeros((ch, C.TRUE_PEAK_TAPS - 1), jnp.float32),

@@ -84,7 +84,7 @@ def meter_step(cfg: MeterConfig):
         subblock_ring = state.subblock_ring
         block_energy, block_count = state.block_energy, state.block_count
         lra_energy, lra_count = state.lra_energy, state.lra_count
-        block_hist, block_hist_sum = state.block_hist, state.block_hist_sum
+        block_hist = state.block_hist
         lra_hist = state.lra_hist
 
         for j in range(k_max):
@@ -109,9 +109,8 @@ def meter_step(cfg: MeterConfig):
                 )
             block_count = block_count + emit_g.astype(jnp.int32)
             hbin = L.hist_bin_index(e_g)
-            add_h = (emit_g & (hbin >= 0)).astype(jnp.float32)
+            add_h = (emit_g & (hbin >= 0)).astype(jnp.int32)
             block_hist = block_hist.at[jnp.maximum(hbin, 0)].add(add_h)
-            block_hist_sum = block_hist_sum + jnp.where(add_h > 0, e_g, 0.0)
 
             # 3 s LRA block at 1 s hop once 30 sub-blocks exist.
             emit_l = (
@@ -129,7 +128,7 @@ def meter_step(cfg: MeterConfig):
                 )
             lra_count = lra_count + emit_l.astype(jnp.int32)
             lbin = L.hist_bin_index(e_l)
-            add_l = (emit_l & (lbin >= 0)).astype(jnp.float32)
+            add_l = (emit_l & (lbin >= 0)).astype(jnp.int32)
             lra_hist = lra_hist.at[jnp.maximum(lbin, 0)].add(add_l)
 
         # --- peaks ---
@@ -148,7 +147,6 @@ def meter_step(cfg: MeterConfig):
             lra_energy=lra_energy,
             lra_count=lra_count,
             block_hist=block_hist,
-            block_hist_sum=block_hist_sum,
             lra_hist=lra_hist,
             true_peak=jnp.maximum(state.true_peak, tp),
             sample_peak=jnp.maximum(state.sample_peak, sample_peak(chunk)),
@@ -173,7 +171,7 @@ def shortterm_lufs(cfg: MeterConfig, state: MeterState):
 
 
 def integrated_lufs(cfg: MeterConfig, state: MeterState):
-    hist_val = L.gated_loudness_hist(state.block_hist, state.block_hist_sum)
+    hist_val = L.gated_loudness_hist(state.block_hist)
     if cfg.max_blocks == 0:
         return hist_val
     cap = cfg.max_blocks

@@ -145,6 +145,18 @@ def make_block_filter(ss, block: int = 128) -> BlockFilter:
     )
 
 
+def _affine_combine(left, right):
+    """Composition of x -> x @ m1 + v1 then x -> x @ m2 + v2 (the ONE
+    definition both the streaming scan and the sharded decomposition use —
+    they must stay algebraically identical)."""
+    m1, v1 = left
+    m2, v2 = right
+    return (
+        jnp.matmul(m1, m2, precision=_PREC),
+        jnp.matmul(v1[..., None, :], m2, precision=_PREC)[..., 0, :] + v2,
+    )
+
+
 def _affine_scan(A_B: jnp.ndarray, s0: jnp.ndarray, s_in: jnp.ndarray):
     """Prefix states of s_{j+1} = s_j @ A_B^T + s_in_j.
 
@@ -160,18 +172,9 @@ def _affine_scan(A_B: jnp.ndarray, s0: jnp.ndarray, s_in: jnp.ndarray):
     v = jnp.concatenate([v0[..., None, :], s_in[..., 1:, :]], axis=-2)
     M = jnp.broadcast_to(ABt, (*v.shape[:-1], n, n))
 
-    def combine(left, right):
-        m1, v1 = left
-        m2, v2 = right
-        # Composition of x -> x @ m1 + v1 then x -> x @ m2 + v2.
-        return (
-            jnp.matmul(m1, m2, precision=_PREC),
-            jnp.matmul(v1[..., None, :], m2, precision=_PREC)[..., 0, :] + v2,
-        )
-
     # Positive axis from the front: leaves have different ranks, so a
     # negative axis would bind to different dimensions.
-    _, s_after = jax.lax.associative_scan(combine, (M, v), axis=v.ndim - 2)
+    _, s_after = jax.lax.associative_scan(_affine_combine, (M, v), axis=v.ndim - 2)
     s_before = jnp.concatenate(
         [jnp.broadcast_to(s0[..., None, :], (*s_after.shape[:-2], 1, n)),
          s_after[..., :-1, :]],
@@ -183,14 +186,16 @@ def _affine_scan(A_B: jnp.ndarray, s0: jnp.ndarray, s_in: jnp.ndarray):
 def block_iir_parts(bf: BlockFilter, x: jnp.ndarray):
     """Zero-state decomposition for sequence-sharded filtering.
 
-    x: (..., N) with N a multiple of bf.block. Returns
-      y_zero:   (..., N)   outputs for s0 = 0
-      P:        (nb, n, n) P[j] = (A_B^T)^j — propagates an initial state to
-                           the start of block j (P[0] = I)
-      s_final0: (..., n)   final state for s0 = 0
+    x: (..., N) with N a multiple of bf.block. Returns FOUR values:
+      y_zero:   (..., N)    outputs for s0 = 0
+      P:        (nb, n, n)  P[j] = (A_B^T)^j — propagates an initial state
+                            to the start of block j (P[0] = I, last entry
+                            P[nb-1])
+      s_final0: (..., n)    final state for s0 = 0
+      P_total:  (n, n)      (A_B^T)^nb — the whole-segment propagator
     so that for any initial state s0:
       y_block_j = y_zero_j + (s0 @ P[j]) @ Ot
-      s_final   = s0 @ P[nb] ... (use bf A_pows / P) + s_final0
+      s_final   = s0 @ P_total + s_final0
     This is what parallel/seqshard.py uses to make each shard's output
     exact once the true inter-shard states are known.
     """
@@ -206,21 +211,13 @@ def block_iir_parts(bf: BlockFilter, x: jnp.ndarray):
     ABt = bf.A_pows[B].T
     M = jnp.broadcast_to(ABt, (nb, n, n))
 
-    def combine(left, right):
-        m1, v1 = left
-        m2, v2 = right
-        return (
-            jnp.matmul(m1, m2, precision=_PREC),
-            jnp.matmul(v1[..., None, :], m2, precision=_PREC)[..., 0, :] + v2,
-        )
-
     # Scan with leading nb axis for M (shared across batch) — move s_in's
     # block axis to the front for a homogeneous scan, then back.
     v = jnp.moveaxis(s_in, -2, 0)  # (nb, ..., n)
     # M is shared across batch: keep it (nb, 1...1, n, n) and let matmul
     # broadcasting in `combine` do the rest (avoids nb*batch 4x4 copies).
     Mb = M.reshape(nb, *([1] * len(batch)), n, n)
-    cumM, s_after = jax.lax.associative_scan(combine, (Mb, v), axis=0)
+    cumM, s_after = jax.lax.associative_scan(_affine_combine, (Mb, v), axis=0)
     s_before0 = jnp.concatenate([jnp.zeros((1, *batch, n), x.dtype), s_after[:-1]], 0)
     y_zero = y0 + jnp.moveaxis(jnp.matmul(s_before0, bf.Ot, precision=_PREC), 0, -2)
     y_zero = y_zero.reshape(*batch, N)

@@ -63,6 +63,8 @@ def _window_means(sums: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     sums: (..., nb) -> (..., nb - w + 1); entry j is the energy of the
     block ending at sub-block j + w - 1.
     """
+    if sums.shape[-1] < w:
+        return sums[..., :0]
     c = jnp.cumsum(sums, axis=-1)
     lead = c[..., w - 1:]
     lag = jnp.concatenate(
@@ -148,11 +150,13 @@ def hist_bin_index(energies: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(l >= C.HIST_MIN_LUFS, idx, -1)
 
 
-def gated_loudness_hist(hist: jnp.ndarray, hist_sum: jnp.ndarray):
-    """Integrated loudness from the gating histogram (counts, energy sum)."""
+def gated_loudness_hist(hist: jnp.ndarray):
+    """Integrated loudness from the gating histogram (counts per bin;
+    bin-center energies — <=0.04 LU quantisation)."""
+    hist = hist.astype(jnp.float32)
     e_bins = jnp.asarray(_hist_bin_energies())
     n1 = jnp.sum(hist, axis=-1)
-    mean1 = hist_sum / jnp.maximum(n1, 1.0)
+    mean1 = jnp.sum(hist * e_bins, axis=-1) / jnp.maximum(n1, 1.0)
     rel_gate = mean1 * 10.0 ** (C.RELATIVE_GATE_LU / 10.0)
     keep = e_bins > rel_gate[..., None]
     n2 = jnp.sum(jnp.where(keep, hist, 0.0), axis=-1)
@@ -162,6 +166,7 @@ def gated_loudness_hist(hist: jnp.ndarray, hist_sum: jnp.ndarray):
 
 def loudness_range_hist(hist: jnp.ndarray):
     """LRA from the short-term histogram (bin centers as energies)."""
+    hist = hist.astype(jnp.float32)
     e_bins = jnp.asarray(_hist_bin_energies())
     n1 = jnp.sum(hist, axis=-1)
     mean1 = jnp.sum(hist * e_bins, axis=-1) / jnp.maximum(n1, 1.0)

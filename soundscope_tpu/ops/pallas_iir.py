@@ -82,7 +82,7 @@ def _run(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x2d, interpret=False):
     return y
 
 
-def _energy_kernel_factory(b, ch, n_state, weights):
+def _energy_kernel_factory(b, ch, weights):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -145,7 +145,7 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
     n_state = bf_Wt.shape[1]
     x2 = x.reshape(b * ch, n)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
-    kernel = _energy_kernel_factory(b, ch, n_state, weights)
+    kernel = _energy_kernel_factory(b, ch, weights)
     z = pl.pallas_call(
         kernel,
         grid=(nb,),

@@ -58,7 +58,7 @@ def _consts(rate: int):
     )
 
 
-def _make_kernel(wchunk: int, nw: int, per: int, dtype=jnp.float32):
+def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -205,7 +205,7 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = Fals
     frames_l = l[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
     frames_r = r[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
 
-    kernel = _make_kernel(wchunk, nw, per, dtype)
+    kernel = _make_kernel(wchunk, per, dtype)
     smem = pl.ANY
 
     grid = (b, nwc)

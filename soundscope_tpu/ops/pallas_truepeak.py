@@ -132,8 +132,6 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
     factor = C.true_peak_factor(rate)
     batch = x.shape[:-1]
     n = x.shape[-1]
-    blk = pick_block(n)
-    assert blk is not None, "pallas true peak requires N divisible by 128"
     rows = int(np.prod(batch) or 1)
     x2 = x.reshape(rows, n)
     nva = jnp.asarray(n_valid, jnp.int32)
@@ -142,13 +140,15 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
     else:
         # per-track n_valid (leading batch dim) expands over the rest
         nv = jnp.repeat(nva.reshape(-1), rows // nva.size).reshape(rows, 1)
-    nblocks = n // blk
-
-    if factor == 1:
+    if factor == 1:  # >=192 kHz: no oversampling, no tiling constraint
         pos = jnp.arange(n)[None, :]
         xm = jnp.where(pos < nv, x2, 0.0)
         sp = jnp.max(jnp.abs(xm), axis=-1).reshape(batch)
         return sp, sp
+
+    blk = pick_block(n)
+    assert blk is not None, "pallas true peak requires N divisible by 128"
+    nblocks = n // blk
 
     rt = _row_tile(rows)
     kernel, ctx = _make_kernel(factor, nblocks, rt, blk)

@@ -43,7 +43,9 @@ def frame_signal(x: jnp.ndarray, win: int, hop: int) -> jnp.ndarray:
     n = x.shape[-1]
     k = win // hop
     nhop = n // hop
-    nw = nhop - k + 1
+    nw = max(nhop - k + 1, 0)
+    if nw == 0:
+        return jnp.zeros((*x.shape[:-1], 0, win), x.dtype)
     frames = x[..., : nhop * hop].reshape(*x.shape[:-1], nhop, hop)
     segs = [frames[..., i: i + nw, :] for i in range(k)]
     return jnp.concatenate(segs, axis=-1)
@@ -90,11 +92,22 @@ def spectrogram(samples_planar, rate: int, use_pallas: str = "auto"):
         l = r = x[0]
     lj, rj = jnp.asarray(l[None]), jnp.asarray(r[None])
     on_tpu = jax.default_backend() == "tpu"
+    _, per, centers = _pooled_gain_plan(C.DEFAULT_FFT_SIZE, rate, 128)
     if use_pallas == "yes" or (use_pallas == "auto" and on_tpu):
         from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
 
         mid, side = stft_pooled_pallas(lj, rj, rate)
-        _, per, centers = _pooled_gain_plan(C.DEFAULT_FFT_SIZE, rate, 128)
+        # the kernel truncates to whole window-chunks; compute the <=15
+        # trailing windows with the XLA path so output shape matches the
+        # CPU branch exactly
+        hop, win = 2048, C.DEFAULT_FFT_SIZE
+        nw_full = max(lj.shape[-1] // hop - win // hop + 1, 0)
+        done = mid.shape[1]
+        if nw_full > done:
+            lo = done * hop
+            _, mtail, stail = stft_midside_display(lj[:, lo:], rj[:, lo:], rate)
+            mid = jnp.concatenate([mid, mtail], axis=1)
+            side = jnp.concatenate([side, stail], axis=1)
     else:
         centers, mid, side = stft_midside_display(lj, rj, rate)
     return {

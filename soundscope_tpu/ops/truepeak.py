@@ -48,6 +48,26 @@ def sample_peak(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.abs(x), axis=-1)
 
 
+def polyphase_outputs(g: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Oversampled outputs of the BS.1770 interpolator over g (..., M).
+
+    g must include taps-per-phase - 1 samples of left context; returns
+    (..., factor, M - (K-1)) where K is the per-phase tap count. The ONE
+    conv definition shared by the streaming, masked and sharded paths.
+    """
+    h = jnp.asarray(_polyphase_taps(factor))      # (F, K)
+    k = h.shape[1]
+    batch = g.shape[:-1]
+    lhs = g.reshape(int(np.prod(batch) or 1), 1, g.shape[-1])
+    # conv output m: sum_t rev_h[p, t] * g[m + t]  == y_p[n], m = n.
+    rhs = h[:, ::-1][:, None, :]                  # (F, 1, K)
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=_PREC,
+    )                                             # (b, F, M-K+1)
+    return y.reshape(*batch, factor, g.shape[-1] - k + 1)
+
+
 def oversampled_abs_peak(x: jnp.ndarray, tail: jnp.ndarray, factor: int):
     """Max absolute interpolated value for chunk x given carried tail.
 
@@ -58,19 +78,10 @@ def oversampled_abs_peak(x: jnp.ndarray, tail: jnp.ndarray, factor: int):
     if factor == 1:
         peak = sample_peak(x)
     else:
-        h = jnp.asarray(_polyphase_taps(factor))      # (F, K)
-        k = h.shape[1]
+        k = _polyphase_taps(factor).shape[1]
         g = jnp.concatenate([tail[..., -(k - 1):], x], axis=-1)
-        batch = g.shape[:-1]
-        lhs = g.reshape(int(np.prod(batch) or 1), 1, g.shape[-1])
-        # conv output m: sum_t rev_h[p, t] * g[m + t]  == y_p[n], m = n.
-        rhs = h[:, ::-1][:, None, :]                  # (F, 1, K)
-        y = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=_PREC,
-        )                                             # (b, F, N)
-        peak = jnp.max(jnp.abs(y), axis=(-2, -1)).reshape(batch)
+        y = polyphase_outputs(g, factor)
+        peak = jnp.max(jnp.abs(y), axis=(-2, -1))
         peak = jnp.maximum(peak, sample_peak(x))
     new_tail = jnp.concatenate([tail, x], axis=-1)[..., -(taps - 1):]
     return peak, new_tail
@@ -97,18 +108,10 @@ def true_peak_masked(x: jnp.ndarray, n_valid, rate: int):
     factor = C.true_peak_factor(rate)
     if factor == 1:
         return sp, sp
-    h = jnp.asarray(_polyphase_taps(factor))
-    k = h.shape[1]
+    k = _polyphase_taps(factor).shape[1]
     tail = jnp.zeros((*x.shape[:-1], k - 1), x.dtype)
     g = jnp.concatenate([tail, x], axis=-1)
-    batch = g.shape[:-1]
-    lhs = g.reshape(int(np.prod(batch) or 1), 1, g.shape[-1])
-    rhs = h[:, ::-1][:, None, :]
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=_PREC,
-    ).reshape(*batch, factor, n)
+    y = polyphase_outputs(g, factor)
     y = jnp.where(valid[..., None, :], y, 0.0)
     tp = jnp.max(jnp.abs(y), axis=(-2, -1))
     return jnp.maximum(tp, sp), sp

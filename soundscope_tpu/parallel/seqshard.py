@@ -39,7 +39,7 @@ from soundscope_tpu.models.engine import AnalysisResult
 from soundscope_tpu.ops import loudness as L
 from soundscope_tpu.ops.biquad import block_iir_parts, make_block_filter
 from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
-from soundscope_tpu.ops.truepeak import _polyphase_taps, sample_peak
+from soundscope_tpu.ops.truepeak import _polyphase_taps, polyphase_outputs, sample_peak
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -66,21 +66,14 @@ def _true_peak_sharded(x, n_valid, cfg, axis):
     if factor == 1:
         tp_local = sp_local
     else:
-        h = jnp.asarray(_polyphase_taps(factor))
-        k = h.shape[1]
+        k = _polyphase_taps(factor).shape[1]
         boundary = xv[..., -(k - 1):]
         left = jax.lax.ppermute(
             boundary, axis, [(i, (i + 1) % size) for i in range(size)]
         )
         left = jnp.where(idx == 0, jnp.zeros_like(left), left)
         g = jnp.concatenate([left, xv], axis=-1)
-        batch = g.shape[:-1]
-        lhs = g.reshape(int(np.prod(batch) or 1), 1, g.shape[-1])
-        rhs = h[:, ::-1][:, None, :]
-        y = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(1,), padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"), precision=_PREC,
-        ).reshape(*batch, factor, nloc)
+        y = polyphase_outputs(g, factor)
         y = jnp.where((pos < n_valid)[..., None, :], y, 0.0)
         tp_local = jnp.maximum(jnp.max(jnp.abs(y), axis=(-2, -1)), sp_local)
     tp = jax.lax.pmax(tp_local, axis)
@@ -125,7 +118,6 @@ def sharded_analyze_fn(cfg: MeterConfig, mesh: Mesh):
             s0 = s0 + jnp.where(idx > k, contrib[take], 0.0)
 
         # 3) state-response correction per block.
-        nb = nloc // cfg.block
         corr = jnp.einsum("bcn,jnm,mB->bcjB", s0, Pmat, bf.Ot, precision=_PREC)
         y = y0 + corr.reshape(bsz, ch, nloc)
 
