@@ -134,21 +134,25 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
             full double-reverse via exchange-matrix matmuls, then +1 rolls
             (k' = 16384-k maps k1>=1 to (128-k1, 127-k2) and the k1=0 row
             to (0, (128-k2) mod 128))."""
-            # exchange matmuls are exact permutations; HIGHEST keeps the
-            # permuted VALUES exactly f32 (Pallas supports only
-            # DEFAULT/HIGHEST dot precisions)
-            ex = exch[:]  # (N1, N1) exchange matrix, E[i, j] = [j == N1-1-i]
-            c1 = jax.lax.dot_general(
-                t, ex, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (w, k2, k1rev) -- contracted k1, result axes (w, k2, k1')
+            # exchange matmuls are exact 0/1 permutations: splitting the
+            # VALUES into hi+lo bf16 pieces reproduces f32 exactly with two
+            # native-speed passes (vs 6 for a HIGHEST f32 matmul)
+            ex = exch[:].astype(dtype if dtype == jnp.bfloat16 else jnp.bfloat16)
+
+            def perm(x, axis):
+                hi_part = x.astype(jnp.bfloat16)
+                lo_part = (x - hi_part.astype(jnp.float32)).astype(jnp.bfloat16)
+                dims = (((axis,), (0,)), ((), ()))
+                out = jax.lax.dot_general(
+                    hi_part, ex, dims, preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    lo_part, ex, dims, preferred_element_type=jnp.float32,
+                )
+                return out
+
+            c1 = perm(t, 1)              # (w, k2, k1rev)
             c1 = jnp.swapaxes(c1, 1, 2)  # (w, k1rev, k2)
-            c = jax.lax.dot_general(
-                c1, ex, (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (w, k1rev, k2rev)
+            c = perm(c1, 2)              # (w, k1rev, k2rev)
             d = pltpu.roll(c, 1, 1)       # shift k1 by +1
             e = pltpu.roll(d, 1, 2)       # row-0 needs one extra k2 shift
             k1_idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)

@@ -179,3 +179,17 @@ def test_silence():
     assert float(res.integrated_lufs) == -np.inf
     assert float(res.lra) == 0.0
     assert float(np.asarray(res.true_peak).max()) == 0.0
+
+
+def test_3341_case5_averaging():
+    """997 Hz: 20 s @ -26 | 20.1 s @ -20 | 20 s @ -26 -> I = -23.0 +/- 0.1
+    (all blocks pass both gates; power-average lands at -23)."""
+    x = stereo(
+        segments([
+            sine(997.0, 20.0, RATE, -26.0),
+            sine(997.0, 20.1, RATE, -20.0),
+            sine(997.0, 20.0, RATE, -26.0),
+        ])
+    )
+    res = _analyze(x)
+    assert abs(float(res.integrated_lufs) + 23.0) < 0.1
