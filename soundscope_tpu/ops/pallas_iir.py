@@ -99,11 +99,12 @@ def _energy_kernel_factory(b, ch, weights):
         x = x_ref[:]                      # (b*ch, B)
         s = s_scratch[:]
         hiP = jax.lax.Precision.HIGHEST
-        # All dots HIGHEST: Pallas supports only DEFAULT/HIGHEST, and the
-        # filter feeds integrated loudness (keep the full 0.1 LU budget).
+        # All dots HIGHEST. A hand-rolled bf16x3 Toeplitz was measured
+        # speed-neutral here (the kernel is grid/DMA-bound, not
+        # matmul-bound), so keep full f32 exactness.
         y = (
             jnp.dot(x, tt_ref[:], preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=hiP)
             + jnp.dot(s, ot_ref[:], preferred_element_type=jnp.float32,
                       precision=hiP)
         )
