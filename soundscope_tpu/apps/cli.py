@@ -89,13 +89,15 @@ def _analyze_bucket(key, items, results) -> None:
                 tp_db = 20.0 * np.log10(tp[i].max())
             # silence -> -inf, which is not valid JSON; report null
             tp_db = float(tp_db) if np.isfinite(tp_db) else None
+            integ_i = float(integ[i])
+            integ_i = round(integ_i, 2) if np.isfinite(integ_i) else None
             results.append({
                 "file": p,
                 "title": d.title,
                 "channels": ch,
                 "rate": rate,
                 "duration_s": round(d.duration, 3),
-                "integrated_lufs": round(float(integ[i]), 2),
+                "integrated_lufs": integ_i,
                 "lra_lu": round(float(lra[i]), 2),
                 "true_peak": [round(float(v), 4) for v in tp[i]],
                 "true_peak_dbtp": round(tp_db, 2) if tp_db is not None else None,

@@ -52,3 +52,33 @@ def test_themes_list(capsys):
     assert main(["themes"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 17 and "Nord" in out
+
+
+def test_scan_incremental_bucket_flush(tmp_path, capsys):
+    """More files than the flush threshold: all analyzed, order preserved,
+    memory bounded by one bucket (behavioral: results complete+correct)."""
+    n_files = 9
+    for i in range(n_files):
+        write_wav(str(tmp_path / f"f{i:02d}.wav"),
+                  stereo(sine(997.0, 0.8, 16000, -20.0 - i)), 16000)
+    rc = main(["scan", str(tmp_path), "--json", "--compact"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == n_files
+    assert [r["file"].rsplit("/", 1)[-1] for r in rows] == [
+        f"f{i:02d}.wav" for i in range(n_files)
+    ]
+    for i, r in enumerate(rows):
+        assert abs(r["integrated_lufs"] + 20.0 + i) < 0.1
+
+
+def test_analyze_silence_json_is_valid(tmp_path, capsys):
+    """Silent file: true_peak_dbtp must be null, output strict-JSON."""
+    p = str(tmp_path / "silence.wav")
+    write_wav(p, np.zeros((2, 16000), np.float32), 16000)
+    rc = main(["analyze", p, "--json", "--compact"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Infinity" not in out
+    rows = json.loads(out)
+    assert rows[0]["true_peak_dbtp"] is None
