@@ -455,7 +455,9 @@ class App:
             self.show_fft = not self.show_fft
         elif key == "3":
             self.show_lufs = not self.show_lufs
-        elif key == "m":
+        elif key == "m" and not (
+            self.show_devices or self.show_explorer or self.show_themes
+        ):  # mode switch gated on popups (tui.rs:1647-1650)
             if self.mode == Mode.PLAYER:
                 self.mode = Mode.MICROPHONE
                 if self.stream is None and self.devices:
@@ -468,7 +470,10 @@ class App:
                     self.stream.pause()
             self.reset_charts()
         elif key == "d":
-            self.show_devices = not self.show_devices
+            # devices list only in Microphone mode, not under help
+            # (tui.rs:1641-1645)
+            if self.mode == Mode.MICROPHONE and not self.show_help:
+                self.show_devices = not self.show_devices
         elif key == "t":
             self.show_themes = not self.show_themes
         elif key == "M":

@@ -263,3 +263,19 @@ def test_transport_seek_accuracy(app, song):
     app.handle_key("left")
     _time.sleep(0.1)
     assert tr.position() == max(p1 - 5 * 44100, 0)
+
+
+def test_devices_key_gated_to_microphone_mode(app):
+    """'d' opens the device list only in Microphone mode (tui.rs:1641-1645);
+    'm' is ignored while a list popup is open (tui.rs:1647-1650)."""
+    app.handle_key("d")
+    assert not app.show_devices  # Player mode: ignored
+    app.handle_key("m")
+    assert app.mode == Mode.MICROPHONE
+    app.handle_key("d")
+    assert app.show_devices
+    app.handle_key("m")  # popup open: mode switch ignored
+    assert app.mode == Mode.MICROPHONE
+    app.handle_key("esc")
+    app.handle_key("m")
+    assert app.mode == Mode.PLAYER
