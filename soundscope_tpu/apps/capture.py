@@ -165,8 +165,10 @@ class AlsaStream:
             if not data:
                 break
             if not self._pause.is_set():
-                mono = np.frombuffer(data, "<f4")
-                self.ring.push(_pseudo_stereo(mono))
+                # at EOF read() can return a partial sample; drop the tail
+                mono = np.frombuffer(data[: len(data) // 4 * 4], "<f4")
+                if len(mono):
+                    self.ring.push(_pseudo_stereo(mono))
 
     def pause(self):
         self._pause.set()

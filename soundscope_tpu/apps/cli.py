@@ -26,14 +26,11 @@ import sys
 import numpy as np
 
 from soundscope_tpu import __version__
+from soundscope_tpu.utils.metrics import GLOBAL as RT
 
 
-def _analyze_paths(paths: list[str]) -> list[dict]:
-    import jax
-    import jax.numpy as jnp
-
-    from soundscope_tpu.core.config import MeterConfig
-    from soundscope_tpu.models.engine import analyze_batch_native, pad_bucket
+def _analyze_paths(paths: list[str], spectrogram_dir: str | None = None) -> list[dict]:
+    from soundscope_tpu.models.engine import pad_bucket
     from soundscope_tpu.utils.io import DecodeError, decode_file
 
     results = []
@@ -45,11 +42,13 @@ def _analyze_paths(paths: list[str]) -> list[dict]:
 
     def flush(key):
         items = buckets.pop(key)
-        _analyze_bucket(key, items, results)
+        _analyze_bucket(key, items, results, spectrogram_dir)
 
     for p in paths:
         try:
-            d = decode_file(p)
+            with RT.measure("decode", 0.0):
+                d = decode_file(p)
+            RT.add_audio("decode", d.duration)
         except (DecodeError, OSError) as e:
             results.append({"file": p, "error": str(e)})
             continue
@@ -63,46 +62,56 @@ def _analyze_paths(paths: list[str]) -> list[dict]:
     return sorted(results, key=lambda r: order.get(r["file"], 1 << 30))
 
 
-def _analyze_bucket(key, items, results) -> None:
+def _analyze_bucket(key, items, results, spectrogram_dir=None) -> None:
     import jax
     import jax.numpy as jnp
 
     from soundscope_tpu.core.config import MeterConfig
     from soundscope_tpu.models.engine import analyze_batch_native
 
-    if True:
-        (ch, rate, npad) = key
-        cfg = MeterConfig(channels=ch, rate=rate, max_blocks=0)
-        xs = np.zeros((len(items), ch, npad), np.float32)
-        nv = np.zeros(len(items), np.int32)
-        for i, (_, d) in enumerate(items):
-            xs[i, :, : d.samples.shape[1]] = d.samples
-            nv[i] = d.samples.shape[1]
-        fn = jax.jit(analyze_batch_native(cfg))
-        res = fn(jnp.asarray(xs), jnp.asarray(nv))
-        tp = np.asarray(res.true_peak)
-        sp = np.asarray(res.sample_peak)
-        integ = np.asarray(res.integrated_lufs)
-        lra = np.asarray(res.lra)
-        for i, (p, d) in enumerate(items):
-            with np.errstate(divide="ignore"):
-                tp_db = 20.0 * np.log10(tp[i].max())
-            # silence -> -inf, which is not valid JSON; report null
-            tp_db = float(tp_db) if np.isfinite(tp_db) else None
-            integ_i = float(integ[i])
-            integ_i = round(integ_i, 2) if np.isfinite(integ_i) else None
-            results.append({
-                "file": p,
-                "title": d.title,
-                "channels": ch,
-                "rate": rate,
-                "duration_s": round(d.duration, 3),
-                "integrated_lufs": integ_i,
-                "lra_lu": round(float(lra[i]), 2),
-                "true_peak": [round(float(v), 4) for v in tp[i]],
-                "true_peak_dbtp": round(tp_db, 2) if tp_db is not None else None,
-                "sample_peak": [round(float(v), 4) for v in sp[i]],
-            })
+    (ch, rate, npad) = key
+    cfg = MeterConfig(channels=ch, rate=rate, max_blocks=0)
+    xs = np.zeros((len(items), ch, npad), np.float32)
+    nv = np.zeros(len(items), np.int32)
+    for i, (_, d) in enumerate(items):
+        xs[i, :, : d.samples.shape[1]] = d.samples
+        nv[i] = d.samples.shape[1]
+    fn = jax.jit(analyze_batch_native(cfg))
+    with RT.measure("analyze", float(nv.sum()) / rate):
+        res = jax.block_until_ready(fn(jnp.asarray(xs), jnp.asarray(nv)))
+    tp = np.asarray(res.true_peak)
+    sp = np.asarray(res.sample_peak)
+    integ = np.asarray(res.integrated_lufs)
+    lra = np.asarray(res.lra)
+    for i, (p, d) in enumerate(items):
+        with np.errstate(divide="ignore"):
+            tp_db = 20.0 * np.log10(tp[i].max())
+        # silence -> -inf, which is not valid JSON; report null
+        tp_db = float(tp_db) if np.isfinite(tp_db) else None
+        integ_i = float(integ[i])
+        integ_i = round(integ_i, 2) if np.isfinite(integ_i) else None
+        row = {
+            "file": p,
+            "title": d.title,
+            "channels": ch,
+            "rate": rate,
+            "duration_s": round(d.duration, 3),
+            "integrated_lufs": integ_i,
+            "lra_lu": round(float(lra[i]), 2),
+            "true_peak": [round(float(v), 4) for v in tp[i]],
+            "true_peak_dbtp": round(tp_db, 2) if tp_db is not None else None,
+            "sample_peak": [round(float(v), 4) for v in sp[i]],
+        }
+        if spectrogram_dir is not None:
+            # computed here, while the decoded samples are still in hand,
+            # so each file is decoded exactly once
+            from soundscope_tpu.ops.stft import spectrogram
+
+            spec = spectrogram(d.samples, d.rate)
+            out = os.path.join(spectrogram_dir, d.title + ".spec.npz")
+            np.savez_compressed(out, **spec)
+            row["spectrogram"] = out
+        results.append(row)
 
 
 def _print_table(rows: list[dict]) -> None:
@@ -118,24 +127,17 @@ def _print_table(rows: list[dict]) -> None:
 
 
 def cmd_analyze(args) -> int:
-    rows = _analyze_paths(args.files)
-    if getattr(args, "spectrogram", None):
-        from soundscope_tpu.ops.stft import spectrogram
-        from soundscope_tpu.utils.io import decode_file
-
-        os.makedirs(args.spectrogram, exist_ok=True)
-        for r in rows:
-            if "error" in r:
-                continue
-            d = decode_file(r["file"])
-            spec = spectrogram(d.samples, d.rate)
-            out = os.path.join(args.spectrogram, d.title + ".spec.npz")
-            np.savez_compressed(out, **spec)
-            r["spectrogram"] = out
+    spec_dir = getattr(args, "spectrogram", None)
+    if spec_dir:
+        os.makedirs(spec_dir, exist_ok=True)
+    rows = _analyze_paths(args.files, spectrogram_dir=spec_dir)
     if args.json:
         print(json.dumps(rows, indent=None if args.compact else 2))
     else:
         _print_table(rows)
+    if getattr(args, "metrics", False):
+        # per-op wall/audio/RT-factor report on stderr (keeps stdout parseable)
+        print(json.dumps({"metrics": RT.report()}), file=sys.stderr)
     return 1 if any("error" in r for r in rows) else 0
 
 
@@ -200,12 +202,16 @@ def main(argv=None) -> int:
     a.add_argument("--compact", action="store_true")
     a.add_argument("--spectrogram", metavar="DIR",
                    help="also write pooled mid/side spectrograms (.spec.npz)")
+    a.add_argument("--metrics", action="store_true",
+                   help="print per-op RT-factor metrics JSON on stderr")
     a.set_defaults(fn=cmd_analyze)
 
     s = sub.add_parser("scan", help="recursively analyze a directory")
     s.add_argument("dir")
     s.add_argument("--json", action="store_true")
     s.add_argument("--compact", action="store_true")
+    s.add_argument("--metrics", action="store_true",
+                   help="print per-op RT-factor metrics JSON on stderr")
     s.set_defaults(fn=cmd_scan)
 
     t = sub.add_parser("tui", help="interactive TUI (reference-compatible)")

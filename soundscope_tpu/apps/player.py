@@ -179,11 +179,63 @@ class AlsaSink:
             pass
 
 
+class SinkFeeder:
+    """Streams transport-paced PCM into an audio sink on its own thread.
+
+    The reference's rodio sink pulls samples itself (audio_player.rs:55-73);
+    here the transport is the clock, so the feeder pushes: it keeps the sink
+    fed up to LEAD_S ahead of the wall-clock playhead, stops while paused,
+    and resyncs after seeks. Writes may block on the sink's pipe — that is
+    why this runs apart from the command loop."""
+
+    LEAD_S = 0.15
+    POLL_S = 0.02
+
+    def __init__(self, transport: Transport, sink, handle: AudioFileHandle):
+        self.transport = transport
+        self.sink = sink
+        self.handle = handle
+        self._fed = 0  # frames written so far
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        inter = self.handle.interleaved()
+        rate = self.handle.rate
+        frames = len(inter) // 2
+        lead = int(self.LEAD_S * rate)
+        while not self._stop.is_set():
+            if not self.transport.playing():
+                time.sleep(self.POLL_S)
+                continue
+            pos = self.transport.position()
+            # seek (either direction) leaves the fed cursor out of the
+            # [pos, pos+2*lead] window — snap it back to the playhead
+            if self._fed < pos or self._fed > pos + 2 * lead:
+                self._fed = pos
+            target = min(pos + lead, frames)
+            if target > self._fed:
+                self.sink.write(inter[self._fed * 2: target * 2])
+                self._fed = target
+            time.sleep(self.POLL_S)
+
+    def stop(self):
+        self._stop.set()
+        self.sink.stop()
+        self._thread.join(timeout=2.0)
+
+
 class AudioPlayer:
     """Command-loop player thread (reference: AudioPlayer::run,
-    src/audio_player.rs:292-397)."""
+    src/audio_player.rs:292-397).
 
-    def __init__(self):
+    `sink_factory(rate) -> sink` builds the audible output for each loaded
+    file (reference: rodio OutputStream, audio_player.rs:270-289). Defaults
+    to AlsaSink when `aplay` and a sound device exist, else playback stays
+    silent (transport-only) exactly as before."""
+
+    def __init__(self, sink_factory=None):
         self.command_q: queue.Queue = queue.Queue(maxsize=8)
         self.file_q: queue.Queue = queue.Queue(maxsize=1)
         self.position_q: queue.Queue = queue.Queue()
@@ -191,6 +243,10 @@ class AudioPlayer:
         self.transport = Transport(self.position_q)
         self._quit = threading.Event()
         self._thread: threading.Thread | None = None
+        if sink_factory is None and AlsaSink.available():
+            sink_factory = AlsaSink
+        self._sink_factory = sink_factory
+        self._feeder: SinkFeeder | None = None
 
     def start(self):
         self._thread = threading.Thread(target=self.run, daemon=True)
@@ -222,6 +278,9 @@ class AudioPlayer:
                 continue
             if cmd.kind == Command.QUIT:
                 self._quit.set()
+                if self._feeder:
+                    self._feeder.stop()
+                    self._feeder = None
             elif cmd.kind == Command.SELECT_FILE:
                 try:
                     decoded = decode_file(str(cmd.arg))
@@ -230,6 +289,16 @@ class AudioPlayer:
                     self._error(f"Failed to open file: {e}")
                     continue
                 self.transport.load(handle.rate, len(handle.mid))
+                if self._feeder:
+                    self._feeder.stop()
+                    self._feeder = None
+                if self._sink_factory is not None:
+                    try:
+                        self._feeder = SinkFeeder(
+                            self.transport, self._sink_factory(handle.rate), handle
+                        )
+                    except Exception as e:
+                        self._error(f"Audio output unavailable: {e}")
                 try:
                     while not self.file_q.empty():
                         self.file_q.get_nowait()

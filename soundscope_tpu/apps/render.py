@@ -166,6 +166,41 @@ class BrailleCanvas:
                     )
 
 
+# 5x7 block-glyph font for the big-text empty state (the reference renders
+# "Soundscope" with tui-big-text, src/tui.rs:598-630). Original glyph art —
+# only the letters the app needs, extend on demand.
+_BIG_FONT = {
+    "S": (".███.", "█...█", "█....", ".███.", "....█", "█...█", ".███."),
+    "o": (".....", ".....", ".███.", "█...█", "█...█", "█...█", ".███."),
+    "u": (".....", ".....", "█...█", "█...█", "█...█", "█..██", ".██.█"),
+    "n": (".....", ".....", "█.██.", "██..█", "█...█", "█...█", "█...█"),
+    "d": ("....█", "....█", ".████", "█...█", "█...█", "█...█", ".████"),
+    "s": (".....", ".....", ".████", "█....", ".███.", "....█", "████."),
+    "c": (".....", ".....", ".███.", "█....", "█....", "█...█", ".███."),
+    "p": (".....", ".....", "████.", "█...█", "████.", "█....", "█...."),
+    "e": (".....", ".....", ".███.", "█...█", "█████", "█....", ".███."),
+    " ": (".....",) * 7,
+}
+BIG_GLYPH_W, BIG_GLYPH_H = 6, 7  # 5 columns + 1 spacing
+
+
+def big_text_width(text: str) -> int:
+    return len(text) * BIG_GLYPH_W - 1
+
+
+def draw_big_text(scr: Screen, x: int, y: int, text: str, fg: Color, bg: Color):
+    """Render `text` in block glyphs at cell (x, y); unknown chars skipped."""
+    for i, ch in enumerate(text):
+        glyph = _BIG_FONT.get(ch) or _BIG_FONT.get(ch.lower())
+        if glyph is None:
+            continue
+        gx = x + i * BIG_GLYPH_W
+        for row, bits in enumerate(glyph):
+            for col, bit in enumerate(bits):
+                if bit != ".":
+                    scr.put(gx + col, y + row, "█", fg, bg)
+
+
 @dataclass
 class Dataset:
     points: list  # [(x, y), ...]

@@ -26,7 +26,11 @@ import numpy as np
 from soundscope_tpu.apps import themes as T
 from soundscope_tpu.apps.capture import build_input_stream, list_input_devices, make_ring
 from soundscope_tpu.apps.player import AudioPlayer, Command, PlayerCommand
-from soundscope_tpu.apps.render import Dataset, Rect, Screen, Span, draw_block, draw_chart
+from soundscope_tpu.apps.render import (
+    BIG_GLYPH_H, Dataset, Rect, Screen, Span, big_text_width, draw_big_text,
+    draw_block, draw_chart,
+)
+from soundscope_tpu.utils.metrics import GLOBAL as RT, TickMonitor
 from soundscope_tpu.models.analyzer import Analyzer
 from soundscope_tpu.utils.io import AUDIO_EXTENSIONS
 
@@ -144,6 +148,11 @@ class App:
         self.chart_rect: Rect | None = None
         self.needs_render = True
 
+        # observability: UI cadence + per-op RT factors (utils/metrics);
+        # readout toggled by SOUNDSCOPE_TPU_METRICS=1 or set directly
+        self.tick_monitor = TickMonitor()
+        self.show_metrics = os.environ.get("SOUNDSCOPE_TPU_METRICS", "") not in ("", "0")
+
         # microphone: host capture ring + device-resident live pipeline
         # (models/live.py) fed in fixed quanta so jit compiles once
         self.ring = make_ring(44100 * 30)
@@ -214,21 +223,24 @@ class App:
         frames = pos_samples // 2
         self.playhead = frames
         mid, side = self.audio_file.mid, self.audio_file.side
+        rate = self.audio_file.rate
         if frames >= FFT_SIZE and frames <= len(mid):
-            self.fft_mid = self.file_analyzer.get_fft(
-                mid[frames - FFT_SIZE: frames], gain_db=self.fft_gain_db
-            )
-            self.fft_side = self.file_analyzer.get_fft(
-                side[frames - FFT_SIZE: frames], gain_db=self.fft_gain_db
-            )
+            with RT.measure("fft", 2 * FFT_SIZE / rate):
+                self.fft_mid = self.file_analyzer.get_fft(
+                    mid[frames - FFT_SIZE: frames], gain_db=self.fft_gain_db
+                )
+                self.fft_side = self.file_analyzer.get_fft(
+                    side[frames - FFT_SIZE: frames], gain_db=self.fft_gain_db
+                )
         inter = self.audio_file.interleaved()
         hi = min(frames * 2, len(inter))
         lo = hi - FFT_SIZE
         # reference skips until a full 16384-sample window exists
         # (lufs_left_bound != 0, tui.rs:1530)
         if lo > 0:
-            self.file_analyzer.add_samples(inter[lo:hi])
-            st = self.file_analyzer.get_shortterm_lufs()
+            with RT.measure("lufs_push", FFT_SIZE / 2 / rate):
+                self.file_analyzer.add_samples(inter[lo:hi])
+                st = self.file_analyzer.get_shortterm_lufs()
             self.lufs = self.lufs[1:] + [st if np.isfinite(st) else -100.0]
         self.needs_render = True
 
@@ -257,7 +269,8 @@ class App:
                     behind -= q
                     pushed = True
             if pushed:
-                f = self.live.frame()
+                with RT.measure("live_frame", q / 44100.0):
+                    f = self.live.frame()
                 self.live_stats = f
                 xs = self.live.spectrum_chart_x
                 self.fft_mid = np.stack([xs, f.fft_mid], axis=-1)
@@ -337,6 +350,7 @@ class App:
 
     def tick(self):
         """One 8 ms loop iteration (src/tui.rs:1278-1424)."""
+        self.tick_monitor.tick()
         # drain error channel
         try:
             while True:
@@ -558,7 +572,9 @@ class App:
                                   self.explorer.entries, self.explorer.selected,
                                   th.explorer.borders, th.explorer.background,
                                   th.explorer.item_foreground,
-                                  th.explorer.highlight_item_foreground)
+                                  th.explorer.highlight_item_foreground,
+                                  dir_fg=th.explorer.dir_foreground,
+                                  dir_hl=th.explorer.highlight_dir_foreground)
         if self.show_devices:
             self._draw_list_popup(scr, "devices  (digit or Enter)",
                                   self.devices, self.device_selected,
@@ -571,7 +587,21 @@ class App:
                                   th.help.foreground, th.help.highlight)
         if self.show_help:
             self._draw_help(scr)
+        if self.show_metrics:
+            self._draw_metrics(scr)
         self.needs_render = False
+
+    def _draw_metrics(self, scr: Screen):
+        """Top-right cadence/RT readout (rebuild-only observability;
+        SURVEY.md §5 — the reference has none)."""
+        tm = self.tick_monitor
+        parts = [f"tick {tm.mean_ms:.1f}ms"]
+        for name, s in sorted(RT.report().items()):
+            if s["rt_factor"] is not None:
+                parts.append(f"{name} {s['rt_factor']:g}x")
+        text = " | ".join(parts)
+        scr.put_str(max(scr.width - len(text) - 1, 0), 0, text,
+                    self.theme.highlight, self.theme.background, True)
 
     def _flashing(self, key: str) -> bool:
         t = self.flash.get(key)
@@ -699,11 +729,21 @@ class App:
                             line, th.numbers, bg)
 
     def _draw_empty(self, scr: Screen):
+        # reference renders a big "Soundscope" banner behind the hint box
+        # with tui-big-text (src/tui.rs:598-630)
         th = self.theme
+        bt_w = big_text_width("Soundscope")
+        if scr.width >= bt_w + 2 and scr.height >= BIG_GLYPH_H + 8:
+            draw_big_text(scr, (scr.width - bt_w) // 2,
+                          max((scr.height - BIG_GLYPH_H) // 2 - 5, 0),
+                          "Soundscope", th.foreground, th.background)
         lines = ["No open windows!", "1 | Toggle waveform",
                  "2 | Toggle spectrum", "3 | Toggle LUFS   "]
         bw, bh = 30, 6
         r = Rect((scr.width - bw) // 2, (scr.height - bh) // 2, bw, bh)
+        for yy in range(r.y, r.y + r.h):
+            for xx in range(r.x, r.x + r.w):
+                scr.put(xx, yy, " ", th.foreground, th.background)
         draw_block(scr, r, th.foreground, th.background)
         for i, ln in enumerate(lines):
             scr.put_str(r.x + (bw - len(ln)) // 2, r.y + 1 + i, ln,
@@ -718,7 +758,11 @@ class App:
                    title=[Span("error", th.foreground, True)])
         scr.put_str(r.x + 2, r.y + 1, msg, th.foreground, th.background)
 
-    def _draw_list_popup(self, scr, title, entries, selected, bd, bg, fg, hl):
+    def _draw_list_popup(self, scr, title, entries, selected, bd, bg, fg, hl,
+                         dir_fg=None, dir_hl=None):
+        """dir_fg/dir_hl color entries ending in '/' (the explorer's
+        dir_foreground/highlight_dir_foreground theme fields; reference
+        ratatui-explorer renders directories distinctly)."""
         bw = max(scr.width // 2, 20)
         bh = max(int(scr.height * 0.7), 6)
         r = Rect((scr.width - bw) // 2, (scr.height - bh) // 2, bw, bh)
@@ -732,9 +776,14 @@ class App:
             idx = top + i
             prefix = f"{idx} " if idx < 10 else "  "
             sel = idx == selected
+            is_dir = str(name).endswith("/")
+            if is_dir and dir_fg is not None:
+                color = (dir_hl or hl) if sel else dir_fg
+            else:
+                color = hl if sel else fg
             scr.put_str(r.x + 2, r.y + 1 + i,
                         ("> " if sel else "  ") + prefix + str(name)[: bw - 8],
-                        hl if sel else fg, bg, sel)
+                        color, bg, sel)
 
     def _draw_help(self, scr: Screen):
         th = self.theme.help
@@ -831,6 +880,11 @@ def run_tui(start_file: str | None = None) -> int:
                     if name:
                         app.handle_key(name)
             now = time.monotonic()
+            # The reference renders on-dirty inside its 8 ms tick
+            # (tui.rs:1279,1421-1423). Curses repaints are far costlier than
+            # ratatui's diffed draws, so this host keeps the 8 ms tick for
+            # analysis/input but floors redraws at 30 ms (~33 fps) — the
+            # position cadence is ~21.5 Hz, so no analysis frame is skipped.
             if app.needs_render and now - last_draw > 0.03:
                 last_draw = now
                 hh, ww = stdscr.getmaxyx()

@@ -152,6 +152,22 @@ class LiveAnalyzer:
     def reset(self) -> None:
         self.state = init_live_state(self.cfg, self.seconds)
 
+    def save(self, path: str) -> None:
+        """Checkpoint the full live pytree (ring + meter) to `path`."""
+        from soundscope_tpu.utils.checkpoint import save_live
+
+        save_live(path, self.cfg, self.state, self.seconds)
+
+    @classmethod
+    def restore(cls, path: str, fft_impl: str = "xla") -> "LiveAnalyzer":
+        """Resume a mic session bit-exactly from a save() checkpoint."""
+        from soundscope_tpu.utils.checkpoint import load_live
+
+        cfg, seconds, state = load_live(path)
+        self = cls(cfg, fft_impl=fft_impl, seconds=seconds)
+        self.state = state
+        return self
+
     @property
     def spectrum_chart_x(self) -> np.ndarray:
         from soundscope_tpu.ops.spectrum import _bin_plan

@@ -94,12 +94,14 @@ def gated_loudness(energies: jnp.ndarray, mask: jnp.ndarray | None = None):
     """Integrated loudness (LUFS) of gating-block energies (..., n)."""
     e = energies
     m = jnp.ones(e.shape, bool) if mask is None else mask
-    m1 = m & (e > _ABS_GATE_ENERGY)
+    # '>=' on both gates matches libebur128 (and the histogram path, which
+    # keeps l >= -70 by construction).
+    m1 = m & (e >= _ABS_GATE_ENERGY)
     n1 = jnp.sum(m1, axis=-1)
     sum1 = jnp.sum(jnp.where(m1, e, 0.0), axis=-1)
     mean1 = sum1 / jnp.maximum(n1, 1)
     rel_gate = mean1 * 10.0 ** (C.RELATIVE_GATE_LU / 10.0)
-    m2 = m1 & (e > rel_gate[..., None])
+    m2 = m1 & (e >= rel_gate[..., None])
     n2 = jnp.sum(m2, axis=-1)
     mean2 = jnp.sum(jnp.where(m2, e, 0.0), axis=-1) / jnp.maximum(n2, 1)
     return jnp.where((n1 > 0) & (n2 > 0), loudness_from_energy(mean2), NEG_INF)
@@ -120,7 +122,7 @@ def loudness_range(st_energies: jnp.ndarray, mask: jnp.ndarray | None = None):
     """EBU Tech 3342 loudness range (LU) from 3 s / 1 s-hop energies."""
     e = st_energies
     m = jnp.ones(e.shape, bool) if mask is None else mask
-    m1 = m & (e > _ABS_GATE_ENERGY)
+    m1 = m & (e >= _ABS_GATE_ENERGY)
     n1 = jnp.sum(m1, axis=-1)
     mean1 = jnp.sum(jnp.where(m1, e, 0.0), axis=-1) / jnp.maximum(n1, 1)
     rel_gate = mean1 * 10.0 ** (C.LRA_RELATIVE_GATE_LU / 10.0)
@@ -158,7 +160,7 @@ def gated_loudness_hist(hist: jnp.ndarray):
     n1 = jnp.sum(hist, axis=-1)
     mean1 = jnp.sum(hist * e_bins, axis=-1) / jnp.maximum(n1, 1.0)
     rel_gate = mean1 * 10.0 ** (C.RELATIVE_GATE_LU / 10.0)
-    keep = e_bins > rel_gate[..., None]
+    keep = e_bins >= rel_gate[..., None]
     n2 = jnp.sum(jnp.where(keep, hist, 0.0), axis=-1)
     mean2 = jnp.sum(jnp.where(keep, hist * e_bins, 0.0), axis=-1) / jnp.maximum(n2, 1.0)
     return jnp.where((n1 > 0) & (n2 > 0), loudness_from_energy(mean2), NEG_INF)

@@ -53,6 +53,40 @@ def load_meter(path: str) -> tuple[MeterConfig, MeterState]:
     )
 
 
+def save_live(path: str, cfg: MeterConfig, state, seconds: int) -> None:
+    """Checkpoint a live-pipeline state (models/live.LiveState: meter +
+    device ring + cursor) so mic sessions resume bit-exactly."""
+    flat, _ = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(flat)}
+    meta = json.dumps({"config": dataclasses.asdict(cfg), "seconds": seconds})
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __live__=np.frombuffer(meta.encode(), np.uint8), **arrays)
+    os.replace(tmp, path)
+
+
+def load_live(path: str):
+    """-> (cfg, seconds, LiveState)."""
+    import jax.numpy as jnp
+
+    from soundscope_tpu.models.live import init_live_state
+
+    data = np.load(path)
+    meta = json.loads(bytes(data["__live__"]).decode())
+    cfg = MeterConfig(**meta["config"])
+    seconds = int(meta["seconds"])
+    template = init_live_state(cfg, seconds)
+    flat, treedef = jax.tree_util.tree_flatten(template)
+    leaves = [data[f"leaf_{i}"] for i in range(len(flat))]
+    for got, want in zip(leaves, flat):
+        if got.shape != np.shape(want):
+            raise ValueError(
+                f"checkpoint shape mismatch: {got.shape} vs {np.shape(want)} "
+                "(was the config changed?)"
+            )
+    state = jax.tree_util.tree_unflatten(treedef, [jnp.asarray(v) for v in leaves])
+    return cfg, seconds, state
+
+
 def save_meter_orbax(path: str, cfg: MeterConfig, state: MeterState) -> None:
     """Orbax-backed save (directory checkpoint) — multi-host friendly."""
     import orbax.checkpoint as ocp

@@ -25,11 +25,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# The reference's explorer whitelist (src/tui.rs:40-47).
+# The reference's explorer whitelist, exactly (src/tui.rs:40-47,
+# SUPPORTED_FORMATS minus its "theme" entry, which the TUI layer adds).
 AUDIO_EXTENSIONS = (
-    "wav", "mp3", "flac", "ogg", "m4a", "aac", "aiff", "aif", "aifc",
-    "alac", "caf", "mp2", "mp1", "opus", "wma", "webm", "mkv", "mp4",
-    "m4b", "3gp", "oga",
+    "wav", "wave", "aiff", "aif", "flac",   # uncompressed / lossless
+    "mp3", "mp2", "mp1", "mpa", "aac",      # MPEG audio
+    "m4a", "m4b", "mp4", "m4r", "m4p",      # MP4/M4A family (AAC/ALAC)
+    "ogg", "oga", "ogv",                    # OGG family
+    "caf", "alac",                          # Apple formats
 )
 
 
@@ -262,7 +265,7 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
     Tries the native C++ decoder first (when built), then the NumPy
     decoders, then ffmpeg."""
     ext = os.path.splitext(path)[1].lower().lstrip(".")
-    if prefer_native and ext == "wav":
+    if prefer_native and ext in ("wav", "wave"):
         try:
             from soundscope_tpu.native import decoder as native_decoder
 
@@ -272,7 +275,7 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
             pass
         except DecodeError:
             pass  # fall through: NumPy decoder gives the clearer error
-    if ext == "wav":
+    if ext in ("wav", "wave"):
         return decode_wav(path)
     if ext in ("aiff", "aif", "aifc"):
         return decode_aiff(path)

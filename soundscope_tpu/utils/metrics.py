@@ -35,6 +35,12 @@ class RTCounter:
                 s[1] += audio_seconds
                 s[2] += 1
 
+    def add_audio(self, name: str, audio_seconds: float):
+        """Credit audio-seconds after the fact (for ops whose audio length
+        is only known once they finish, e.g. decode)."""
+        with self._lock:
+            self._stats[name][1] += audio_seconds
+
     def report(self) -> dict:
         with self._lock:
             return {

@@ -102,17 +102,17 @@ def analyze_reference(x: np.ndarray, rate: int):
 
     # Integrated gating.
     gamma_a = 10.0 ** ((C.ABSOLUTE_GATE_LUFS - C.LOUDNESS_OFFSET_DB) / 10.0)
-    e1 = mom[mom > gamma_a]
+    e1 = mom[mom >= gamma_a]
     if len(e1) == 0:
         integrated = -np.inf
     else:
         gamma_r = e1.mean() * 10.0 ** (C.RELATIVE_GATE_LU / 10.0)
-        e2 = e1[e1 > gamma_r]
+        e2 = e1[e1 >= gamma_r]
         integrated = loud(e2.mean()) if len(e2) else -np.inf
 
     # LRA per Tech 3342 on 3 s / 1 s-hop blocks.
     e_lra = st[:: C.LRA_HOP_SUBBLOCKS]
-    e1 = e_lra[e_lra > gamma_a]
+    e1 = e_lra[e_lra >= gamma_a]
     if len(e1) == 0:
         lra = 0.0
     else:

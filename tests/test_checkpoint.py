@@ -55,3 +55,32 @@ def test_shape_mismatch_rejected(tmp_path):
         assert False, "should have raised"
     except ValueError as e:
         assert "mismatch" in str(e)
+
+
+def test_live_state_roundtrip_and_resume(tmp_path):
+    """Mic-session checkpoint: the full live pytree (device ring + meter)
+    round-trips bit-exactly and streaming resumes seamlessly."""
+    from soundscope_tpu.models.live import LiveAnalyzer
+
+    cfg = MeterConfig(channels=2, rate=48000, max_blocks=0)
+    la = LiveAnalyzer(cfg, seconds=4)
+    x = stereo(sine(997.0, 3.0, 48000, -20.0))
+    inter = np.ascontiguousarray(np.asarray(x).T).reshape(-1)
+    half = len(inter) // 2
+    la.push(inter[:half])
+    p = str(tmp_path / "live.npz")
+    la.save(p)
+
+    lb = LiveAnalyzer.restore(p)
+    for a, b in zip(jax.tree_util.tree_leaves(la.state),
+                    jax.tree_util.tree_leaves(lb.state)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert lb.seconds == 4 and lb.cfg == cfg
+
+    la.push(inter[half:])
+    lb.push(inter[half:])
+    fa = la.frame()
+    fb = lb.frame()
+    assert float(fa.shortterm) == float(fb.shortterm)
+    assert float(fa.integrated) == float(fb.integrated)
+    np.testing.assert_array_equal(np.asarray(fa.fft_mid), np.asarray(fb.fft_mid))

@@ -82,3 +82,26 @@ def test_analyze_silence_json_is_valid(tmp_path, capsys):
     assert "Infinity" not in out
     rows = json.loads(out)
     assert rows[0]["true_peak_dbtp"] is None
+
+
+def test_cli_metrics_flag(tmp_path, capsys):
+    """--metrics prints a per-op RT-factor JSON report on stderr while
+    stdout stays parseable."""
+    import json as _json
+
+    from soundscope_tpu.apps.cli import main
+    from soundscope_tpu.utils.io import write_wav
+    from soundscope_tpu.utils.metrics import GLOBAL
+    from soundscope_tpu.utils.synth import sine, stereo
+
+    GLOBAL.reset()
+    p = str(tmp_path / "a.wav")
+    write_wav(p, stereo(sine(440.0, 1.0, 48000, -14.0)), 48000)
+    rc = main(["analyze", p, "--json", "--compact", "--metrics"])
+    assert rc == 0
+    out, err = capsys.readouterr()
+    _json.loads(out)  # stdout unpolluted
+    rep = _json.loads(err.strip().splitlines()[-1])["metrics"]
+    assert "analyze" in rep and "decode" in rep
+    assert rep["analyze"]["calls"] >= 1
+    assert rep["analyze"]["audio_s"] > 0.9

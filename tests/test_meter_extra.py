@@ -65,3 +65,40 @@ def test_streaming_counter_sanity_long_run():
     assert int(state.subblock_fill) == total % h
     assert int(state.frames_total) == total
     assert int(state.block_count) == total // h - 3
+
+
+def test_early_window_semantics_match_libebur128():
+    """Before the 400 ms / 3 s windows fill, libebur128 averages its
+    zero-initialized audio ring over the FULL window (its query never
+    checks frames-seen), diluting early readings. Pin that the streaming
+    meter does the same, against the f64 reference chain."""
+    from tests.reference_impl import k_filter, channel_weights
+
+    cfg = MeterConfig(channels=2, rate=RATE, max_blocks=0)
+    step = jax.jit(M.meter_step(cfg))
+
+    x = stereo(sine(997.0, 1.5, RATE, -23.0))  # 1.5 s into a 3 s window
+    state = init_meter_state(cfg)
+    state = step(state, jnp.asarray(x))
+
+    w = channel_weights(2)
+    y = k_filter(np.asarray(x, np.float64), RATE)
+    z = (w[:, None] * y * y).sum(0)
+
+    # short-term: mean over the zero-padded 3 s window
+    e_st = z.sum() / (3 * RATE)
+    want_st = -0.691 + 10 * np.log10(e_st)
+    got_st = float(M.shortterm_lufs(cfg, state))
+    assert abs(got_st - want_st) < 0.05
+    # the diluted reading sits 10*log10(1.5/3) ≈ 3.01 LU below steady state
+    steady = -0.691 + 10 * np.log10(z.mean())
+    assert abs((steady - got_st) - 3.0103) < 0.05
+
+    # momentary: 0.2 s pushed into the 400 ms window
+    state2 = init_meter_state(cfg)
+    x2 = x[:, : int(0.2 * RATE)]
+    state2 = step(state2, jnp.asarray(x2))
+    z2 = z[: int(0.2 * RATE)]
+    want_m = -0.691 + 10 * np.log10(z2.sum() / int(0.4 * RATE))
+    got_m = float(M.momentary_lufs(cfg, state2))
+    assert abs(got_m - want_m) < 0.05

@@ -279,3 +279,56 @@ def test_devices_key_gated_to_microphone_mode(app):
     app.handle_key("esc")
     app.handle_key("m")
     assert app.mode == Mode.PLAYER
+
+
+def test_empty_state_big_text(app):
+    """The no-panes screen renders a big block-glyph 'Soundscope' banner
+    (reference: tui-big-text, src/tui.rs:598-630)."""
+    app.show_waveform = app.show_fft = app.show_lufs = False
+    txt = _frame(app, w=100, h=30)
+    assert "No open windows!" in txt
+    assert "█" in txt  # the banner glyphs
+    # on a tiny screen the banner is skipped but the hint box remains
+    txt_small = _frame(app, w=40, h=12)
+    assert "No open windows!" in txt_small
+    assert "█" not in txt_small
+
+
+def test_explorer_directory_coloring(app, tmp_path, song):
+    """Directories render with the theme's dir_foreground, files with
+    item_foreground (reference: ratatui-explorer dir styling)."""
+    from soundscope_tpu.apps.render import Screen
+    from soundscope_tpu.apps.themes import Color
+
+    os.makedirs(tmp_path / "subdir", exist_ok=True)
+    app.explorer.cwd = str(tmp_path)
+    dir_c = Color.parse(33)
+    item_c = Color.parse(244)
+    app.theme.sections["explorer"].colors["dir_foreground"] = dir_c
+    app.theme.sections["explorer"].colors["item_foreground"] = item_c
+    app.handle_key("e")
+    scr = Screen(100, 30)
+    app.draw(scr)
+
+    def row_color(substr):
+        for y, row in enumerate(scr.cells):
+            line = "".join(c.ch for c in row)
+            x = line.find(substr)
+            if x >= 0:
+                return scr.cells[y][x].fg
+        raise AssertionError(f"{substr!r} not on screen")
+
+    assert row_color("subdir/") == dir_c
+    assert row_color("song.wav") == item_c
+
+
+def test_metrics_readout(app, song):
+    app.show_metrics = True
+    app.select_audio_file(song)
+    app.tick()
+    time.sleep(0.01)
+    app.tick()
+    app.analyze_audio_file_samples(44100 * 2)  # drive one analysis frame
+    txt = _frame(app, w=120, h=30)
+    assert "tick" in txt and "ms" in txt
+    assert "lufs_push" in txt  # RT-factor entries appear once ops have run
