@@ -16,6 +16,10 @@ Prints ONE JSON line to stdout. Details go to stderr.
 Env knobs: BENCH_TRACKS, BENCH_SECONDS, BENCH_REPEATS,
 BENCH_STFT (pallas|chunked|oneshot — pipeline for the spectrogram stage),
 BENCH_DTYPE (f32|bf16 for the STFT matmuls).
+
+`--check` gate mode: additionally runs tools/tpu_conformance.py and
+compares the measured RT factor against tools/bench_baseline.json,
+exiting nonzero on a conformance failure or a >10% RT regression.
 """
 
 import functools
@@ -186,7 +190,37 @@ def main():
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rt / 10000.0, 3),
     }))
+    return rt
+
+
+def check(rt: float) -> int:
+    """Gate mode: conformance sweep + RT-regression check (exit status)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    import tpu_conformance
+
+    import jax
+
+    conf_args = ["--json"]
+    if jax.default_backend() != "tpu":
+        conf_args += ["--interpret", "--levels", "4", "--stft-windows", "2"]
+    conf_rc = tpu_conformance.main(conf_args)
+    log(f"conformance: {'PASS' if conf_rc == 0 else 'FAIL'}")
+
+    base_path = os.path.join(here, "tools", "bench_baseline.json")
+    rt_ok = True
+    if jax.default_backend() == "tpu" and os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)["rt_factor"]
+        rt_ok = rt >= 0.9 * base
+        log(f"rt check: {rt:.0f}x vs recorded {base:.0f}x "
+            f"({'PASS' if rt_ok else 'FAIL: >10% regression'})")
+    else:
+        log("rt check: skipped (no TPU or no recorded baseline)")
+    return 0 if (conf_rc == 0 and rt_ok) else 1
 
 
 if __name__ == "__main__":
-    main()
+    rt_measured = main()
+    if "--check" in sys.argv:
+        raise SystemExit(check(rt_measured))
