@@ -17,13 +17,33 @@ _SO = os.path.join(_DIR, "libssnative.so")
 _lib = None
 
 
+_SOURCES = ("decoder.cpp", "flac.cpp", "codecs.cpp")
+
+
+def _libav_headers() -> bool:
+    return any(
+        os.path.exists(os.path.join(d, "libavformat", "avformat.h"))
+        for d in ("/usr/include/x86_64-linux-gnu", "/usr/include",
+                  "/usr/local/include")
+    )
+
+
 def build(force: bool = False) -> str:
-    src = os.path.join(_DIR, "decoder.cpp")
-    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(src):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO],
-            check=True,
-        )
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    newest = max(os.path.getmtime(s) for s in srcs)
+    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", _SO]
+        if _libav_headers():
+            try:
+                subprocess.run(
+                    base[:1] + ["-DSS_HAVE_LIBAV"] + base[1:]
+                    + ["-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+                    check=True, capture_output=True,
+                )
+                return _SO
+            except subprocess.CalledProcessError:
+                pass  # fall back to a codec-bridge-less build
+        subprocess.run(base, check=True)
     return _SO
 
 
@@ -47,6 +67,11 @@ def _load():
 
     lib.ss_decode_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_wav.restype = ctypes.c_int
+    lib.ss_decode_flac.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_flac.restype = ctypes.c_int
+    lib.ss_decode_any.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_any.restype = ctypes.c_int
+    lib.ss_codecs_available.restype = ctypes.c_int
     lib.ss_free_decoded.argtypes = [ctypes.POINTER(DecodedWav)]
     lib.ss_ring_new.argtypes = [ctypes.c_int64]
     lib.ss_ring_new.restype = ctypes.c_void_p
@@ -72,6 +97,26 @@ def available() -> bool:
     return _load() is not None
 
 
+def _decode_with(fn_name: str, path: str, what: str):
+    from soundscope_tpu.utils.io import DecodedAudio, DecodeError
+
+    lib = _load()
+    if lib is None:
+        raise DecodeError("native decoder unavailable")
+    out = lib._DecodedWav()
+    rc = getattr(lib, fn_name)(path.encode(), ctypes.byref(out))
+    if rc != 0:
+        raise DecodeError(f"native {what} decode failed (rc={rc})")
+    try:
+        n = out.frames * out.channels
+        flat = np.ctypeslib.as_array(out.data, shape=(int(n),))
+        planar = flat.reshape(out.channels, out.frames).copy()
+    finally:
+        lib.ss_free_decoded(ctypes.byref(out))
+    title = os.path.splitext(os.path.basename(path))[0]
+    return DecodedAudio(planar, int(out.rate), title)
+
+
 class decoder:
     """Namespace mirroring utils.io's decode interface."""
 
@@ -80,24 +125,24 @@ class decoder:
         return available()
 
     @staticmethod
-    def decode(path: str):
-        from soundscope_tpu.utils.io import DecodedAudio, DecodeError
-
+    def codecs_available() -> bool:
+        """True when the libav compressed-codec bridge was compiled in."""
         lib = _load()
-        if lib is None:
-            raise DecodeError("native decoder unavailable")
-        out = lib._DecodedWav()
-        rc = lib.ss_decode_wav(path.encode(), ctypes.byref(out))
-        if rc != 0:
-            raise DecodeError(f"native WAV decode failed (rc={rc})")
-        try:
-            n = out.frames * out.channels
-            flat = np.ctypeslib.as_array(out.data, shape=(int(n),))
-            planar = flat.reshape(out.channels, out.frames).copy()
-        finally:
-            lib.ss_free_decoded(ctypes.byref(out))
-        title = os.path.splitext(os.path.basename(path))[0]
-        return DecodedAudio(planar, int(out.rate), title)
+        return bool(lib) and bool(lib.ss_codecs_available())
+
+    @staticmethod
+    def decode(path: str):
+        return _decode_with("ss_decode_wav", path, "WAV")
+
+    @staticmethod
+    def decode_flac(path: str):
+        """First-party FLAC decoder (native/flac.cpp)."""
+        return _decode_with("ss_decode_flac", path, "FLAC")
+
+    @staticmethod
+    def decode_any(path: str):
+        """Compressed-codec bridge (mp3/aac/m4a/alac/ogg/caf/...)."""
+        return _decode_with("ss_decode_any", path, "codec-bridge")
 
 
 class NativeRing:

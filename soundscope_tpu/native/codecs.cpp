@@ -1,0 +1,144 @@
+// Compressed-codec bridge: decode any container/codec the system's
+// libavformat/libavcodec stack understands (mp3/mp2/mp1, aac/m4a/m4b/mp4,
+// alac, ogg/oga, caf, ...) to planar float32.
+//
+// Role: this is the rebuild's analog of the reference's symphonia
+// dependency (audio_player.rs:169-267, Cargo.toml:21 symphonia-all) — an
+// external codec library wired through the native runtime. FLAC and WAV
+// have first-party decoders in this runtime (flac.cpp, decoder.cpp) and
+// never take this path; the bridge covers the long tail of formats.
+//
+// Compiled into libssnative.so only when the libav* headers are present
+// (native/__init__.py probes at build time); without them the symbol is
+// a stub returning "unavailable" and Python falls back to its own
+// decoders / the ffmpeg CLI hook.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+struct DecodedWavLayout {
+  float* data;
+  int64_t frames;
+  int32_t channels;
+  int32_t rate;
+};
+
+#ifdef SS_HAVE_LIBAV
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+}
+
+extern "C" int ss_codecs_available(void) { return 1; }
+
+// Decode any libav-supported audio file. Returns 0 on success; negative
+// codes mirror the other native decoders. Caller frees via ss_free_decoded.
+extern "C" int ss_decode_any(const char* path, DecodedWavLayout* out) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  int rc = -2;
+  AVCodecContext* dec = nullptr;
+  SwrContext* swr = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  float* buf = nullptr;
+  size_t cap = 0, len = 0;  // in samples (all channels, planar blocks later)
+  int stream_idx = -1, channels = 0, rate = 0;
+
+  do {
+    if (avformat_find_stream_info(fmt, nullptr) < 0) break;
+    const AVCodec* codec = nullptr;
+    stream_idx = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+    if (stream_idx < 0 || !codec) { rc = -3; break; }
+    AVStream* st = fmt->streams[stream_idx];
+    dec = avcodec_alloc_context3(codec);
+    if (!dec || avcodec_parameters_to_context(dec, st->codecpar) < 0) break;
+    if (avcodec_open2(dec, codec, nullptr) < 0) { rc = -4; break; }
+
+    channels = dec->ch_layout.nb_channels;
+    rate = dec->sample_rate;
+    if (channels <= 0 || rate <= 0) { rc = -5; break; }
+
+    // resample-free conversion to interleaved float (same rate/layout)
+    swr = swr_alloc();
+    if (!swr) break;
+    av_opt_set_chlayout(swr, "in_chlayout", &dec->ch_layout, 0);
+    av_opt_set_chlayout(swr, "out_chlayout", &dec->ch_layout, 0);
+    av_opt_set_int(swr, "in_sample_rate", rate, 0);
+    av_opt_set_int(swr, "out_sample_rate", rate, 0);
+    av_opt_set_sample_fmt(swr, "in_sample_fmt", dec->sample_fmt, 0);
+    av_opt_set_sample_fmt(swr, "out_sample_fmt", AV_SAMPLE_FMT_FLT, 0);
+    if (swr_init(swr) < 0) break;
+
+    pkt = av_packet_alloc();
+    frame = av_frame_alloc();
+    if (!pkt || !frame) break;
+
+    auto push_frame = [&](AVFrame* fr) {
+      int n = fr->nb_samples;
+      size_t need = len + (size_t)n * channels;
+      if (need > cap) {
+        cap = need * 2 + 4096;
+        float* nb = (float*)realloc(buf, cap * sizeof(float));
+        if (!nb) return false;
+        buf = nb;
+      }
+      uint8_t* dst = (uint8_t*)(buf + len);
+      int got = swr_convert(swr, &dst, n, (const uint8_t**)fr->extended_data, n);
+      if (got < 0) return false;
+      len += (size_t)got * channels;
+      return true;
+    };
+
+    bool fail = false;
+    while (av_read_frame(fmt, pkt) >= 0 && !fail) {
+      if (pkt->stream_index == stream_idx) {
+        if (avcodec_send_packet(dec, pkt) >= 0) {
+          while (avcodec_receive_frame(dec, frame) >= 0)
+            if (!push_frame(frame)) { fail = true; break; }
+        }
+        // decode errors inside a file are skipped, like the reference
+        // (audio_player.rs:261)
+      }
+      av_packet_unref(pkt);
+    }
+    if (!fail) {
+      avcodec_send_packet(dec, nullptr);  // flush
+      while (avcodec_receive_frame(dec, frame) >= 0)
+        if (!push_frame(frame)) { fail = true; break; }
+    }
+    if (fail || len == 0) { rc = fail ? -6 : -7; break; }
+
+    int64_t frames = (int64_t)(len / channels);
+    float* planar = (float*)malloc(sizeof(float) * (size_t)frames * channels);
+    if (!planar) { rc = -8; break; }
+    for (int c = 0; c < channels; c++) {
+      float* d = planar + (size_t)c * frames;
+      for (int64_t i = 0; i < frames; i++) d[i] = buf[i * channels + c];
+    }
+    out->data = planar;
+    out->frames = frames;
+    out->channels = channels;
+    out->rate = rate;
+    rc = 0;
+  } while (false);
+
+  free(buf);
+  if (frame) av_frame_free(&frame);
+  if (pkt) av_packet_free(&pkt);
+  if (swr) swr_free(&swr);
+  if (dec) avcodec_free_context(&dec);
+  avformat_close_input(&fmt);
+  return rc;
+}
+
+#else  // !SS_HAVE_LIBAV
+
+extern "C" int ss_codecs_available(void) { return 0; }
+extern "C" int ss_decode_any(const char*, DecodedWavLayout*) { return -100; }
+
+#endif

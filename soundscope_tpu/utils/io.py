@@ -6,11 +6,16 @@ src/audio_player.rs:169-267). This rebuild ships:
   * a pure-NumPy RIFF/WAVE decoder (PCM 8/16/24/32-bit, float32/64,
     WAVE_FORMAT_EXTENSIBLE) and AIFF/AIFC (PCM, sowt) decoder — zero-dep,
     vectorised;
-  * a native C++ decoder (soundscope_tpu/native) used when built — the
+  * a native C++ WAV decoder (soundscope_tpu/native/decoder.cpp) — the
     hot path for long files;
-  * an optional ffmpeg-CLI fallback for compressed formats (mp3/aac/ogg/
-    flac/m4a...) when an ffmpeg binary exists on the host (it does not in
-    this image; the hook is gated).
+  * a first-party native FLAC decoder (native/flac.cpp: every subframe
+    type, Rice/Rice2 + escape partitions, all 4 channel assignments,
+    4-32 bit) with a matching Python encoder (utils/flacenc.py);
+  * a native codec bridge (native/codecs.cpp, libavformat/libavcodec —
+    the symphonia analog) for mp3/mp2/mp1, aac/m4a/m4b/mp4, alac,
+    ogg/oga, caf, ...;
+  * an ffmpeg-CLI fallback as the last resort when the bridge is not
+    compiled in and an ffmpeg binary exists on the host.
 
 All paths return (planar float32 (C, N), rate).
 """
@@ -259,24 +264,42 @@ def decode_ffmpeg(path: str) -> DecodedAudio:
 
 # --- dispatch ------------------------------------------------------------------
 
+def _native():
+    try:
+        from soundscope_tpu.native import decoder as native_decoder
+
+        if native_decoder.available():
+            return native_decoder
+    except ImportError:
+        pass
+    return None
+
+
 def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
     """Decode any supported audio file to planar float32.
 
-    Tries the native C++ decoder first (when built), then the NumPy
-    decoders, then ffmpeg."""
+    Dispatch: WAV -> native C++ (NumPy fallback); AIFF -> NumPy;
+    FLAC -> first-party native decoder (native/flac.cpp); everything
+    else (mp3/mp2/mp1/aac/m4a/m4b/mp4/alac/ogg/oga/caf/...) -> the
+    native codec bridge (native/codecs.cpp, the symphonia analog),
+    then the ffmpeg-CLI hook."""
     ext = os.path.splitext(path)[1].lower().lstrip(".")
-    if prefer_native and ext in ("wav", "wave"):
-        try:
-            from soundscope_tpu.native import decoder as native_decoder
-
-            if native_decoder.available():
-                return native_decoder.decode(path)
-        except ImportError:
-            pass
-        except DecodeError:
-            pass  # fall through: NumPy decoder gives the clearer error
+    nat = _native() if prefer_native else None
     if ext in ("wav", "wave"):
+        if nat is not None:
+            try:
+                return nat.decode(path)
+            except DecodeError:
+                pass  # fall through: NumPy decoder gives the clearer error
         return decode_wav(path)
     if ext in ("aiff", "aif", "aifc"):
         return decode_aiff(path)
+    if ext == "flac" and nat is not None:
+        return nat.decode_flac(path)
+    if nat is not None and nat.codecs_available():
+        try:
+            return nat.decode_any(path)
+        except DecodeError:
+            if _ffmpeg_bin() is None:
+                raise
     return decode_ffmpeg(path)

@@ -1,0 +1,112 @@
+"""Compressed-codec bridge (native/codecs.cpp): real MP3 streams decode
+through decode_file with correct rate/duration/content. Fixtures are
+encoded with the system's libmp3lame via ctypes (no CLI needed).
+
+Reference surface: symphonia's mp3 decode
+(/root/reference/src/audio_player.rs:169-267, probe hinted "mp3")."""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from soundscope_tpu.utils.io import decode_file
+from soundscope_tpu.utils.synth import sine, stereo
+
+
+def _bridge():
+    from soundscope_tpu.native import decoder
+
+    if not (decoder.available() and decoder.codecs_available()):
+        pytest.skip("codec bridge not compiled in")
+    return decoder
+
+
+def _lame():
+    for name in ("libmp3lame.so.0", "libmp3lame.so"):
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    pytest.skip("libmp3lame not present")
+
+
+def write_mp3(path: str, planar: np.ndarray, rate: int):
+    lame = _lame()
+    lame.lame_init.restype = ctypes.c_void_p
+    g = ctypes.c_void_p(lame.lame_init())
+    lame.lame_set_in_samplerate(g, rate)
+    lame.lame_set_out_samplerate(g, rate)
+    ch = planar.shape[0]
+    lame.lame_set_num_channels(g, ch)
+    lame.lame_set_brate(g, 192)
+    assert lame.lame_init_params(g) >= 0
+    n = planar.shape[1]
+    # interleaved float in [-1,1]; mono duplicates into L/R per lame API
+    two = planar if ch == 2 else np.repeat(planar, 2, axis=0)
+    inter = np.ascontiguousarray(two.T, np.float32).reshape(-1)
+    out = ctypes.create_string_buffer(int(1.25 * n) + 7200)
+    wrote = lame.lame_encode_buffer_interleaved_ieee_float(
+        g, inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, out, len(out)
+    )
+    assert wrote >= 0, f"lame encode failed ({wrote})"
+    tail = ctypes.create_string_buffer(7200)
+    wrote2 = lame.lame_encode_flush(g, tail, len(tail))
+    lame.lame_close(g)
+    with open(path, "wb") as f:
+        f.write(out.raw[:wrote] + tail.raw[:max(wrote2, 0)])
+
+
+@pytest.fixture
+def tone_mp3(tmp_path):
+    x = stereo(sine(997.0, 2.0, 44100, -12.0))
+    p = str(tmp_path / "tone.mp3")
+    write_mp3(p, x, 44100)
+    return p, x
+
+
+def test_mp3_decodes_with_right_shape(tone_mp3):
+    _bridge()
+    p, x = tone_mp3
+    d = decode_file(p)
+    assert d.rate == 44100 and d.channels == 2
+    # lame pads with encoder/decoder delay; duration within 100 ms
+    assert abs(d.duration - 2.0) < 0.1
+
+
+def test_mp3_content_survives(tone_mp3):
+    """The decoded tone keeps its frequency and level (lossy budget)."""
+    _bridge()
+    p, x = tone_mp3
+    d = decode_file(p)
+    mid = d.samples[0]
+    # trim codec delay edges, then check dominant bin and RMS level
+    core = mid[4096: 4096 + 65536]
+    spec = np.abs(np.fft.rfft(core * np.hanning(len(core))))
+    f_peak = np.argmax(spec) * 44100 / len(core)
+    assert abs(f_peak - 997.0) < 10.0
+    rms_db = 20 * np.log10(np.sqrt(np.mean(core**2)) + 1e-12)
+    want_db = 20 * np.log10(np.sqrt(np.mean(x[0] ** 2)))
+    assert abs(rms_db - want_db) < 1.0
+
+
+def test_mp3_mono(tmp_path):
+    _bridge()
+    x = sine(440.0, 1.0, 48000, -10.0)[None, :]
+    p = str(tmp_path / "mono.mp3")
+    write_mp3(p, x, 48000)
+    d = decode_file(p)
+    assert d.rate == 48000
+    assert abs(d.duration - 1.0) < 0.1
+
+
+def test_garbage_mp3_raises(tmp_path):
+    from soundscope_tpu.utils.io import DecodeError
+
+    dec = _bridge()
+    p = str(tmp_path / "junk.mp3")
+    with open(p, "wb") as f:
+        f.write(os.urandom(4096))
+    with pytest.raises(DecodeError):
+        dec.decode_any(p)
