@@ -172,14 +172,25 @@ def main():
     jax.block_until_ready(out)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
+    # Throughput metric: dispatch a batch of iterations and sync ONCE, so
+    # per-iteration host/tunnel dispatch+sync latency (~25-30 ms through
+    # the axon relay on this dev box; negligible on a local chip) is
+    # amortised out of the sustained audio-sec/sec measurement. A single
+    # synced iteration is logged for reference.
+    t0 = time.time()
+    out = run(xd, nd)
+    jax.block_until_ready(out)
+    log(f"single synced iter: {(time.time() - t0) * 1e3:.1f} ms")
+
+    inner = 8
     best = float("inf")
     for i in range(repeats):
         t0 = time.time()
-        out = run(xd, nd)
-        jax.block_until_ready(out)
-        dt = time.time() - t0
+        outs = [run(xd, nd) for _ in range(inner)]
+        jax.block_until_ready(outs)
+        dt = (time.time() - t0) / inner
         best = min(best, dt)
-        log(f"iter {i}: {dt * 1e3:.1f} ms")
+        log(f"iter {i}: {dt * 1e3:.1f} ms/iter (sustained over {inner})")
 
     audio_sec = b * (n / rate)
     rt = audio_sec / best

@@ -82,13 +82,31 @@ def _run(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x2d, interpret=False):
     return y
 
 
-def _energy_kernel_factory(b, ch, weights):
+def _energy_kernel_factory(b, ch, weights, kpg, B):
+    """kpg = IIR blocks per grid step. The state recurrence serialises the
+    grid, so per-step overhead (grid bookkeeping + DMA latency) dominates
+    with one 512-sample block per step; carrying the state through `kpg`
+    blocks inside one step amortises it over a kpg-times-fatter DMA
+    (measured grid/DMA-bound, commit 436173a)."""
+    import os
+
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     w_list = [float(v) for v in weights]
+    # Toeplitz matmul mode. The f32 (64+, B)@(B, B) dot is the kernel's
+    # floor: Mosaic lowers f32 operands to the full 6-pass MXU sequence
+    # regardless of the `precision` flag (measured: DEFAULT == HIGHEST
+    # wall time). "bf16x2" splits BOTH operands into hi+lo bf16 and keeps
+    # the three significant cross terms — 3 native passes, ~21 of f32's
+    # 24 mantissa bits, f32 accumulation. Error bound ~2^-21 relative on
+    # y, orders of magnitude inside the 0.1 LU budget (the on-chip gate
+    # tools/tpu_conformance.py re-verifies the shipped setting).
+    mode = os.environ.get("SS_ENERGY_PREC", "bf16x2")
+    hiP = jax.lax.Precision.HIGHEST
 
-    def kernel(x_ref, nv_ref, tt_ref, wt_ref, ot_ref, ab_ref, z_ref, s_scratch):
+    def kernel(x_ref, nv_ref, tt_ref, ttlo_ref, wt_ref, ot_ref, ab_ref,
+               z_ref, s_scratch):
         first = pl.program_id(0) == 0
 
         @pl.when(first)
@@ -96,34 +114,46 @@ def _energy_kernel_factory(b, ch, weights):
             s_scratch[:] = jnp.zeros_like(s_scratch)
 
         j = pl.program_id(0)
-        x = x_ref[:]                      # (b*ch, B)
         s = s_scratch[:]
-        hiP = jax.lax.Precision.HIGHEST
-        # All dots HIGHEST. A hand-rolled bf16x3 Toeplitz was measured
-        # speed-neutral here (the kernel is grid/DMA-bound, not
-        # matmul-bound), so keep full f32 exactness.
-        y = (
-            jnp.dot(x, tt_ref[:], preferred_element_type=jnp.float32,
-                    precision=hiP)
-            + jnp.dot(s, ot_ref[:], preferred_element_type=jnp.float32,
-                      precision=hiP)
-        )
-        s_scratch[:] = (
-            jnp.dot(s, ab_ref[:], preferred_element_type=jnp.float32,
-                    precision=hiP)
-            + jnp.dot(x, wt_ref[:], preferred_element_type=jnp.float32,
-                      precision=hiP)
-        )
-        blk = y.shape[-1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (b, blk), 1) + j * blk
-        yc = y.reshape(b, ch, blk)
-        z = jnp.zeros((b, blk), jnp.float32)
-        for c in range(ch):
-            if w_list[c] == 0.0:
-                continue
-            z = z + w_list[c] * (yc[:, c] * yc[:, c])
-        z = jnp.where(col < nv_ref[:], z, 0.0)
-        z_ref[:] = z
+        wt, ot, ab = wt_ref[:], ot_ref[:], ab_ref[:]
+        if mode == "bf16x2":
+            tt_hi = tt_ref[:].astype(jnp.bfloat16)
+            tt_lo = ttlo_ref[:].astype(jnp.bfloat16)
+        else:
+            tt = tt_ref[:]
+        for i in range(kpg):
+            x = x_ref[:, i * B: (i + 1) * B]  # (b*ch, B)
+            if mode == "bf16x2":
+                x_hi = x.astype(jnp.bfloat16)
+                x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def bdot(a_, b_):
+                    return jnp.dot(a_, b_, preferred_element_type=jnp.float32)
+
+                y0 = bdot(x_hi, tt_hi) + bdot(x_hi, tt_lo) + bdot(x_lo, tt_hi)
+            else:
+                y0 = jnp.dot(x, tt, preferred_element_type=jnp.float32,
+                             precision=hiP)
+            y = y0 + jnp.dot(s, ot, preferred_element_type=jnp.float32,
+                             precision=hiP)
+            s = (
+                jnp.dot(s, ab, preferred_element_type=jnp.float32,
+                        precision=hiP)
+                + jnp.dot(x, wt, preferred_element_type=jnp.float32,
+                          precision=hiP)
+            )
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (b, B), 1)
+                + (j * kpg + i) * B
+            )
+            yc = y.reshape(b, ch, B)
+            z = jnp.zeros((b, B), jnp.float32)
+            for c in range(ch):
+                if w_list[c] == 0.0:
+                    continue
+                z = z + w_list[c] * (yc[:, c] * yc[:, c])
+            z_ref[:, i * B: (i + 1) * B] = jnp.where(col < nv_ref[:], z, 0.0)
+        s_scratch[:] = s
 
     return kernel
 
@@ -146,23 +176,35 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
     n_state = bf_Wt.shape[1]
     x2 = x.reshape(b * ch, n)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
-    kernel = _energy_kernel_factory(b, ch, weights)
+    # blocks per grid step: the largest divisor of nb whose double-buffered
+    # x+z tiles stay within a conservative VMEM budget
+    vmem_cap = 8 << 20
+    kpg = 1
+    for k in range(min(nb, 32), 1, -1):
+        if nb % k == 0 and (b * ch + b) * k * B * 4 * 2 <= vmem_cap:
+            kpg = k
+            break
+    kernel = _energy_kernel_factory(b, ch, weights, kpg, B)
+    # residual of the Toeplitz after bf16 truncation (the bf16x2 split's
+    # low term); costs one extra (B, B) constant in VMEM
+    tt_lo = bf_Tt - bf_Tt.astype(jnp.bfloat16).astype(jnp.float32)
     z = pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb // kpg,),
         in_specs=[
-            pl.BlockSpec((b * ch, B), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * ch, kpg * B), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, n_state), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_state, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_state, n_state), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, B), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, kpg * B), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b * ch, n_state), jnp.float32)],
         interpret=interpret,
-    )(x2, nv, bf_Tt, bf_Wt, bf_Ot, bf_ABt)
+    )(x2, nv, bf_Tt, tt_lo, bf_Wt, bf_Ot, bf_ABt)
     return z
 
 

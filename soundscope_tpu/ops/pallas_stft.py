@@ -66,32 +66,64 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
                mid_out, side_out, win_l, win_r, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
+        nwc = pl.num_programs(1)
+        step = i * nwc + j
+        total = pl.num_programs(0) * nwc
+        slot = jax.lax.rem(step, 2)
 
         # Windows by DMA layout: the input is pre-shaped (B, N/128, 128),
         # so window w (16384 contiguous samples starting at w*HOP) is rows
         # [w*16, w*16+128) — aligned offsets (x16), and the destination is
         # directly the (128, 128) matrix the four-step FFT consumes. No
         # in-kernel shuffles (Mosaic cannot concat sublane-offset slices).
+        #
+        # Manual copies are NOT pipelined by Mosaic (only BlockSpec-driven
+        # ones are), so the scratch is double-buffered by hand: each step
+        # prefetches the NEXT chunk's windows into the other slot while
+        # computing on the windows prefetched by the previous step.
         rows_per_hop = HOP // N2  # 16
-        copies = []
-        for w_ in range(wchunk):
-            src = pl.ds((j * wchunk + w_) * rows_per_hop, N1)
-            copies.append(pltpu.make_async_copy(
-                l_hbm.at[i, src, :], win_l.at[w_], sem.at[w_],
-            ))
-            copies.append(pltpu.make_async_copy(
-                r_hbm.at[i, src, :], win_r.at[w_], sem.at[wchunk + w_],
-            ))
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
+
+        def start_copies(slot_, ii, jj):
+            for w_ in range(wchunk):
+                src = pl.ds((jj * wchunk + w_) * rows_per_hop, N1)
+                pltpu.make_async_copy(
+                    l_hbm.at[ii, src, :], win_l.at[slot_, w_],
+                    sem.at[slot_, w_],
+                ).start()
+                pltpu.make_async_copy(
+                    r_hbm.at[ii, src, :], win_r.at[slot_, w_],
+                    sem.at[slot_, wchunk + w_],
+                ).start()
+
+        def wait_copies(slot_):
+            for w_ in range(wchunk):
+                pltpu.make_async_copy(
+                    l_hbm.at[0, pl.ds(0, N1), :], win_l.at[slot_, w_],
+                    sem.at[slot_, w_],
+                ).wait()
+                pltpu.make_async_copy(
+                    r_hbm.at[0, pl.ds(0, N1), :], win_r.at[slot_, w_],
+                    sem.at[slot_, wchunk + w_],
+                ).wait()
+
+        @pl.when(step == 0)
+        def _():
+            start_copies(0, i, j)
+
+        @pl.when(step + 1 < total)
+        def _():
+            # successor in (tracks, chunks) iteration order
+            nxt_i = jnp.where(j + 1 < nwc, i, i + 1)
+            nxt_j = jnp.where(j + 1 < nwc, j + 1, 0)
+            start_copies(1 - slot, nxt_i, nxt_j)
+
+        wait_copies(slot)
 
         w = hann[:].reshape(1, N1, N2)
         # time-domain mid/side, packed as z = mid + i*side: the conjugate
         # split below then yields |M|^2 and |S|^2 directly
-        wl = win_l[:]
-        wr = win_r[:]
+        wl = win_l[slot]
+        wr = win_r[slot]
         zr = (wl + wr) * (0.5 * w)                        # (wchunk, N1, N2)
         zi = (wl - wr) * (0.5 * w)
 
@@ -190,8 +222,8 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
 
 
 @functools.partial(jax.jit, static_argnames=("rate", "wchunk", "interpret", "dtype"))
-def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = False,
-                       dtype=jnp.float32):
+def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
+                       interpret: bool = False, dtype=jnp.float32):
     """l, r: (B, N) channel signals -> (mid_db, side_db): (B, nw, BANDS).
 
     N must satisfy (N // HOP - K + 1) % wchunk == 0 after truncation; the
@@ -200,6 +232,11 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = Fals
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if wchunk is None:
+        # f32 intermediates are twice the size; 16 windows/chunk with the
+        # double-buffered window scratch overflows the 16 MB VMEM budget
+        wchunk = 16 if dtype == jnp.bfloat16 else 8
 
     (f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch, per, _) = _consts(rate)
     b, n = l.shape
@@ -247,9 +284,9 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int = 16, interpret: bool = Fals
             jax.ShapeDtypeStruct((b, nw, BANDS), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((wchunk, N1, N2), jnp.float32),
-            pltpu.VMEM((wchunk, N1, N2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 * wchunk,)),
+            pltpu.VMEM((2, wchunk, N1, N2), jnp.float32),  # double-buffered
+            pltpu.VMEM((2, wchunk, N1, N2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2 * wchunk)),
         ],
         interpret=interpret,
     )(frames_l, frames_r, f1r, f1i, f2r, f2i, twr, twi,

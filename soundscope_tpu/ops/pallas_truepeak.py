@@ -53,7 +53,7 @@ def _row_tile(rows: int) -> int:
     return best or rows
 
 
-def _make_kernel(factor: int, nblocks: int, rows: int, blk: int):
+def _make_kernel(factor: int, nsteps: int, rows: int, blk: int, kpg: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -64,9 +64,11 @@ def _make_kernel(factor: int, nblocks: int, rows: int, blk: int):
     BLK = blk
 
     def kernel(x_ref, nv_ref, tp_ref, sp_ref, prev, run_tp, run_sp):
-        # grid = (row_tiles, nblocks): j (time) iterates fastest, so the
+        # grid = (row_tiles, nsteps): j (time) iterates fastest, so the
         # carried scratch belongs to one row tile at a time and resets at
-        # its first time block.
+        # its first time block. Each step walks `kpg` BLK-sample sub-blocks
+        # (fatter DMAs amortise per-step grid overhead; only the 12-sample
+        # FIR context crosses sub-block edges).
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -76,43 +78,45 @@ def _make_kernel(factor: int, nblocks: int, rows: int, blk: int):
             run_sp[:] = jnp.zeros_like(run_sp)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (rows, BLK), 1)
-        pos = j * BLK + col
-        valid = pos < nv_ref[:]
-        x = jnp.where(valid, x_ref[:], 0.0)
-
-        sp = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-        run_sp[:] = jnp.maximum(run_sp[:], sp)
-
-        # shifted-by-k block: roll(x, k) is right for n >= k; for n < k the
-        # wrapped columns must come from the END of the PREVIOUS block,
-        # which is exactly what roll(prev, k)[:, :k] holds.
         xp = prev[:]
         tp_blk = jnp.zeros((rows, 1), jnp.float32)
-        for p in range(F):
-            acc = jnp.zeros((rows, BLK), jnp.float32)
-            for k in range(Kp):
-                hk = float(h_np[p, k])
-                if hk == 0.0:
-                    continue
-                if k == 0:
-                    shifted = x
-                else:
-                    shifted = jnp.where(
-                        col < k,
-                        pltpu.roll(xp, k, 1),
-                        pltpu.roll(x, k, 1),
-                    )
-                acc = acc + hk * shifted
-            # outputs beyond the valid region must not count
-            acc = jnp.where(valid, acc, 0.0)
-            tp_blk = jnp.maximum(
-                tp_blk, jnp.max(jnp.abs(acc), axis=1, keepdims=True)
-            )
+        sp_blk = jnp.zeros((rows, 1), jnp.float32)
+        for i in range(kpg):
+            pos = (j * kpg + i) * BLK + col
+            valid = pos < nv_ref[:]
+            x = jnp.where(valid, x_ref[:, i * BLK: (i + 1) * BLK], 0.0)
+
+            sp_blk = jnp.maximum(sp_blk, jnp.max(jnp.abs(x), axis=1, keepdims=True))
+
+            # shifted-by-k block: roll(x, k) is right for n >= k; for n < k
+            # the wrapped columns must come from the END of the PREVIOUS
+            # block, which is exactly what roll(prev, k)[:, :k] holds.
+            for p in range(F):
+                acc = jnp.zeros((rows, BLK), jnp.float32)
+                for k in range(Kp):
+                    hk = float(h_np[p, k])
+                    if hk == 0.0:
+                        continue
+                    if k == 0:
+                        shifted = x
+                    else:
+                        shifted = jnp.where(
+                            col < k,
+                            pltpu.roll(xp, k, 1),
+                            pltpu.roll(x, k, 1),
+                        )
+                    acc = acc + hk * shifted
+                # outputs beyond the valid region must not count
+                acc = jnp.where(valid, acc, 0.0)
+                tp_blk = jnp.maximum(
+                    tp_blk, jnp.max(jnp.abs(acc), axis=1, keepdims=True)
+                )
+            xp = x
+        run_sp[:] = jnp.maximum(run_sp[:], sp_blk)
         run_tp[:] = jnp.maximum(run_tp[:], tp_blk)
+        prev[:] = xp
 
-        prev[:] = x
-
-        @pl.when(j == nblocks - 1)
+        @pl.when(j == nsteps - 1)
         def _():
             tp_ref[:] = jnp.maximum(run_tp[:], run_sp[:])
             sp_ref[:] = run_sp[:]
@@ -151,12 +155,20 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
     nblocks = n // blk
 
     rt = _row_tile(rows)
-    kernel, ctx = _make_kernel(factor, nblocks, rt, blk)
+    # sub-blocks per grid step, within a conservative VMEM budget
+    vmem_cap = 8 << 20
+    kpg = 1
+    for k in range(min(nblocks, 24), 1, -1):
+        if nblocks % k == 0 and rt * k * blk * 4 * 3 <= vmem_cap:
+            kpg = k
+            break
+    nsteps = nblocks // kpg
+    kernel, ctx = _make_kernel(factor, nsteps, rt, blk, kpg)
     tp, sp = pl.pallas_call(
         kernel,
-        grid=(rows // rt, nblocks),
+        grid=(rows // rt, nsteps),
         in_specs=[
-            pl.BlockSpec((rt, blk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, kpg * blk), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -168,7 +180,7 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rt, blk), jnp.float32),
+            pltpu.VMEM((rt, blk), jnp.float32),  # prev sub-block (FIR context)
             pltpu.VMEM((rt, 1), jnp.float32),
             pltpu.VMEM((rt, 1), jnp.float32),
         ],

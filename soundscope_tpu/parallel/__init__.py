@@ -1,6 +1,9 @@
 from soundscope_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
+    global_batch,
+    init_distributed,
     make_mesh,
+    make_multihost_mesh,
     replicated,
     seq_sharding,
 )
