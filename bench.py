@@ -13,7 +13,7 @@ the reference publishes no numbers (BASELINE.md).
 
 Prints ONE JSON line to stdout. Details go to stderr.
 
-Env knobs: BENCH_TRACKS, BENCH_SECONDS, BENCH_REPEATS,
+Env knobs: BENCH_TRACKS, BENCH_SECONDS, BENCH_REPEATS, BENCH_RATE,
 BENCH_STFT (pallas|chunked|oneshot — pipeline for the spectrogram stage),
 BENCH_DTYPE (f32|bf16 for the STFT matmuls).
 
@@ -154,7 +154,7 @@ def main():
     seconds = float(os.environ.get("BENCH_SECONDS", "60"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    rate = 48000
+    rate = int(os.environ.get("BENCH_RATE", "48000"))
 
     dev = jax.devices()[0]
     default_stft = "pallas" if jax.default_backend() == "tpu" else "chunked"

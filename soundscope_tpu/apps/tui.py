@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import queue
+import threading
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -159,6 +160,8 @@ class App:
         self.stream = None
         self.live = None
         self.live_stats = None
+        self.live_ready = threading.Event()
+        self.live_ready.set()
         self._live_consumed = 0
         self._live_quantum = 2048
 
@@ -252,6 +255,8 @@ class App:
         whole frame (spectrum, waveform, LUFS) is one jitted program;
         otherwise fall back to the reference-shaped host-snapshot path."""
         if self.live is not None:
+            if not self.live_ready.is_set():
+                return  # still compiling on the warmup thread; keep the UI live
             q = self._live_quantum
             pushed = False
             # snapshot and total must come from the same instant, else the
@@ -319,8 +324,23 @@ class App:
             self.live = LiveAnalyzer(MeterConfig(channels=2, rate=rate, max_blocks=0))
             self.live_stats = None
             self._live_consumed = 0
+            # First push/frame jit-compiles for seconds; do it on a worker
+            # thread so the mode switch doesn't freeze the UI loop (the
+            # live path stays idle until warm — see analyze_microphone_input)
+            self.live_ready.clear()
+
+            def _warm(live=self.live):
+                try:
+                    live.push(np.zeros(self._live_quantum, np.float32))
+                    live.frame()
+                    live.reset()  # drop the warmup zeros from the meter
+                finally:
+                    self.live_ready.set()
+
+            threading.Thread(target=_warm, daemon=True).start()
         except Exception:
             self.live = None
+            self.live_ready.set()
         self.fft_gain_db = 0.0
         self.lufs = [-100.0] * LUFS_HISTORY
         self.show_devices = False

@@ -193,3 +193,64 @@ def test_3341_case5_averaging():
     )
     res = _analyze(x)
     assert abs(float(res.integrated_lufs) + 23.0) < 0.1
+
+
+# --- EBU Tech 3341: momentary / short-term burst maxima ----------------------
+#
+# The M/S minimum-requirement cases use isolated tone bursts: the maximum
+# reading of the meter over the burst must equal the burst's loudness.
+# With the zero-initialized window ring (libebur128 semantics, pinned in
+# test_meter_extra.py), the max is reached exactly when the window covers
+# the whole burst.
+
+def _meter_max(x, rate, query, hop_s):
+    import jax
+
+    from soundscope_tpu.core.state import init_meter_state
+    from soundscope_tpu.models import meter as M
+
+    cfg = MeterConfig(channels=x.shape[0], rate=rate, max_blocks=0)
+    step = jax.jit(M.meter_step(cfg))
+    q = jax.jit(lambda s: getattr(M, query)(cfg, s))
+    state = init_meter_state(cfg)
+    hop = int(hop_s * rate)
+    best = -np.inf
+    for lo in range(0, x.shape[1] - hop + 1, hop):
+        state = step(state, x[:, lo: lo + hop])
+        v = float(q(state))
+        if np.isfinite(v):
+            best = max(best, v)
+    return best
+
+
+def test_3341_shortterm_burst_max():
+    """2 s silence | 3 s 997 Hz -23 LUFS | 2 s silence: max S = -23 +/- 0.1."""
+    x = stereo(segments([
+        np.zeros(2 * RATE, np.float32),
+        sine(997.0, 3.0, RATE, -23.0),
+        np.zeros(2 * RATE, np.float32),
+    ]))
+    best = _meter_max(np.asarray(x, np.float32), RATE, "shortterm_lufs", 0.1)
+    assert abs(best + 23.0) < 0.1
+
+
+def test_3341_momentary_burst_max():
+    """1 s silence | 0.4 s 997 Hz -23 LUFS | 1 s silence: max M = -23 +/- 0.1."""
+    x = stereo(segments([
+        np.zeros(RATE, np.float32),
+        sine(997.0, 0.4, RATE, -23.0),
+        np.zeros(RATE, np.float32),
+    ]))
+    best = _meter_max(np.asarray(x, np.float32), RATE, "momentary_lufs", 0.01)
+    assert abs(best + 23.0) < 0.1
+
+
+def test_shortterm_alternating_levels_max():
+    """Alternating 1.5 s blocks at -20 / -30 LUFS (period 3 s): every full
+    3 s window holds exactly half of each level, so S is pinned at the
+    50/50 energy mix ~= -22.6 LUFS — a window-alignment stress case."""
+    seg = [sine(997.0, 1.5, RATE, -20.0), sine(997.0, 1.5, RATE, -30.0)]
+    x = stereo(segments(seg * 4))
+    best = _meter_max(np.asarray(x, np.float32), RATE, "shortterm_lufs", 0.1)
+    want = 10 * np.log10((10 ** (-20 / 10) + 10 ** (-30 / 10)) / 2)
+    assert abs(best - want) < 0.15

@@ -114,9 +114,14 @@ def test_theme_persistence(tmp_path):
 
 
 def test_mode_switch_and_mic_analysis(app):
+    t0 = time.monotonic()
     app.handle_key("m")
+    # the jit warmup runs on a worker thread — the switch itself must not
+    # block the UI loop even though first compiles take seconds
+    assert time.monotonic() - t0 < 2.0
     assert app.mode == Mode.MICROPHONE
     assert app.stream is not None
+    assert app.live_ready.wait(timeout=300)
     time.sleep(0.3)  # synthetic device pushes ~10 ms blocks
     app.analyze_microphone_input()
     assert app.fft_mid is not None
@@ -129,6 +134,7 @@ def test_mode_switch_and_mic_analysis(app):
 
 def test_mic_spectrum_shows_sine(app):
     app.handle_key("m")
+    assert app.live_ready.wait(timeout=300)  # async jit warmup
     rate = app.device_analyzer.sample_rate
     t = np.arange(rate * 16) / rate
     mono = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
@@ -225,6 +231,7 @@ def test_mic_mode_uses_device_resident_live_path(app):
     (one jitted push per quantum + one jitted frame)."""
     app.handle_key("m")
     assert app.live is not None
+    assert app.live_ready.wait(timeout=300)  # async jit warmup
     rate = 44100
     t = np.arange(rate * 4) / rate
     mono = (0.4 * np.sin(2 * np.pi * 700.0 * t)).astype(np.float32)
