@@ -120,6 +120,10 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
         m, sde = stft(x)
         return (res.integrated_lufs, res.lra, res.true_peak, m, sde)
 
+    reduce_all = jax.jit(
+        lambda out: sum(jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0)) for v in out)
+    )
+
     def make_inputs():
         # generate ON DEVICE: host->device transfer through the dev tunnel
         # is slow and is not what this benchmark measures
@@ -129,7 +133,7 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
         n_valid = jnp.full((b,), n, jnp.int32)
         return x, n_valid
 
-    return run, make_inputs, n
+    return run, reduce_all, make_inputs, n
 
 
 def _enable_compile_cache():
@@ -161,7 +165,7 @@ def main():
     stft_mode = os.environ.get("BENCH_STFT", default_stft)
     log(f"device: {dev}, tracks={b}, seconds={seconds}, stft={stft_mode}, dtype={dtype_name}")
 
-    run, make_inputs, n = build_bench(b, seconds, rate, dtype_name)
+    run, reduce_all, make_inputs, n = build_bench(b, seconds, rate, dtype_name)
     t0 = time.time()
     xd, nd = make_inputs()
     jax.block_until_ready(xd)
@@ -172,11 +176,15 @@ def main():
     jax.block_until_ready(out)
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
-    # Throughput metric: dispatch a batch of iterations and sync ONCE, so
-    # per-iteration host/tunnel dispatch+sync latency (~25-30 ms through
-    # the axon relay on this dev box; negligible on a local chip) is
-    # amortised out of the sustained audio-sec/sec measurement. A single
-    # synced iteration is logged for reference.
+    # Throughput metric: dispatch a batch of iterations and force ONE host
+    # readback of a scalar that depends on every iteration's outputs, so
+    # (a) per-iteration host/tunnel dispatch+sync latency (~25-30 ms
+    # through the axon relay on this dev box; negligible on a local chip)
+    # is amortised out of the sustained audio-sec/sec measurement, and
+    # (b) nothing can be lazily skipped — block_until_ready alone is NOT a
+    # reliable completion barrier through the relay. A single synced
+    # iteration is logged for reference.
+    reduce_all(run(xd, nd)).block_until_ready()  # warm the reducer
     t0 = time.time()
     out = run(xd, nd)
     jax.block_until_ready(out)
@@ -186,11 +194,13 @@ def main():
     best = float("inf")
     for i in range(repeats):
         t0 = time.time()
-        outs = [run(xd, nd) for _ in range(inner)]
-        jax.block_until_ready(outs)
+        acc = jnp.float32(0.0)
+        for _ in range(inner):
+            acc = acc + reduce_all(run(xd, nd))
+        acc_host = float(acc)  # forces the full chain
         dt = (time.time() - t0) / inner
         best = min(best, dt)
-        log(f"iter {i}: {dt * 1e3:.1f} ms/iter (sustained over {inner})")
+        log(f"iter {i}: {dt * 1e3:.1f} ms/iter (sustained over {inner}, acc={acc_host:.1f})")
 
     audio_sec = b * (n / rate)
     rt = audio_sec / best

