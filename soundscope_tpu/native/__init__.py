@@ -72,6 +72,11 @@ def _load():
     lib.ss_decode_any.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_any.restype = ctypes.c_int
     lib.ss_codecs_available.restype = ctypes.c_int
+    lib.ss_encode_audio.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
+    ]
+    lib.ss_encode_audio.restype = ctypes.c_int
     lib.ss_free_decoded.argtypes = [ctypes.POINTER(DecodedWav)]
     lib.ss_ring_new.argtypes = [ctypes.c_int64]
     lib.ss_ring_new.restype = ctypes.c_void_p
@@ -143,6 +148,25 @@ class decoder:
     def decode_any(path: str):
         """Compressed-codec bridge (mp3/aac/m4a/alac/ogg/caf/...)."""
         return _decode_with("ss_decode_any", path, "codec-bridge")
+
+    @staticmethod
+    def encode(path: str, samples, rate: int, codec: str | None = None):
+        """Encode planar (C, N) float32 via the codec bridge; container
+        from the extension (ogg/m4a/caf/mp3/...), codec optionally forced
+        (e.g. 'alac' inside .m4a)."""
+        from soundscope_tpu.utils.io import DecodeError
+
+        lib = _load()
+        if lib is None or not lib.ss_codecs_available():
+            raise DecodeError("codec bridge unavailable")
+        x = np.ascontiguousarray(samples, np.float32)
+        ch, n = x.shape
+        rc = lib.ss_encode_audio(
+            path.encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, ch, rate, codec.encode() if codec else None,
+        )
+        if rc != 0:
+            raise DecodeError(f"native encode failed (rc={rc})")
 
 
 class NativeRing:

