@@ -50,11 +50,19 @@ def _consts(rate: int):
     g2 = (gain.astype(np.float64) ** 2).astype(np.float32)
     hann = _hann_np(WIN)
     exch = np.eye(N1, dtype=np.float32)[::-1].copy()
+    # reverse-and-shift permutations (rolls folded into the matmul):
+    # exs[n, k] = 1 iff k = (N1 - n) % N1
+    exs = np.zeros((N1, N1), np.float32)
+    for n_ in range(N1):
+        exs[n_, (N1 - n_) % N1] = 1.0
+    # sanity: with k = k1 + N1*k2, gain is zero at and above Nyquist —
+    # the kernel's half-spectrum pooling relies on it
+    assert not np.any(g2[WIN // 2:] > 0.0), "display range crosses Nyquist"
     return (
         f1.real.astype(np.float32), f1.imag.astype(np.float32),
         f2.real.astype(np.float32), f2.imag.astype(np.float32),
         tw.real.astype(np.float32), tw.imag.astype(np.float32),
-        hann, g2, exch, per, centers,
+        hann, g2, exch, exs, per, centers,
     )
 
 
@@ -72,7 +80,7 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
     layout = os.environ.get("SS_STFT_LAYOUT", "swapped")
 
     def kernel(l_hbm, r_hbm, f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch,
-               mid_out, side_out, win_l, win_r, sem):
+               exs, mid_out, side_out, win_l, win_r, sem):
         i = pl.program_id(0)
         j = pl.program_id(1)
         nwc = pl.num_programs(1)
@@ -189,66 +197,71 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
 
         fft = fft_swapped if layout == "swapped" else fft_orig
 
-        def flatten(t):
-            # k = k1 + N1*k2 -> (k2, k1)-major flatten
-            return jnp.swapaxes(t, 1, 2).reshape(wchunk, WIN)
+        HALF = WIN // 2
+        HB = BANDS // 2  # bands covering k < WIN/2; gain is 0 above Nyquist
 
-        def negate_freq(t):
-            """Z[-k] in (.., k1, k2) layout, without lax.rev (unsupported):
-            full double-reverse via exchange-matrix matmuls, then +1 rolls
-            (k' = 16384-k maps k1>=1 to (128-k1, 127-k2) and the k1=0 row
-            to (0, (128-k2) mod 128))."""
+        def flatten_half(t):
+            # k = k1 + N1*k2 -> (k2, k1)-major flatten, keeping k2 < N2/2
+            # (the only bands with nonzero display gain)
+            return jnp.swapaxes(t, 1, 2)[:, : N2 // 2, :].reshape(wchunk, HALF)
+
+        def negate_freq_half(t):
+            """Z[-k] for k < WIN/2 in (.., k1, k2) layout, without lax.rev
+            (unsupported): k' = WIN - k maps k1 >= 1 to (N1-k1, N2-1-k2)
+            and the k1 = 0 row to (0, (N2-k2) % N2). The +1 shifts are
+            FOLDED into the reverse-shift matrix `exs` (one matmul per
+            axis, no rolls); the k1 = 0 row gets its own tiny matmul."""
             # exchange matmuls are exact 0/1 permutations, so each pass is
             # a lossless gather of its bf16 operand; the hi+lo bf16 split
             # carries ~16 of f32's 24 mantissa bits (~2^-17 relative,
             # ≈1e-4 dB after pooling — far below display resolution) with
             # two native-speed passes vs 6 for a HIGHEST f32 matmul
-            ex = exch[:].astype(dtype if dtype == jnp.bfloat16 else jnp.bfloat16)
+            ex = exch[:].astype(jnp.bfloat16)
+            exs_b = exs[:].astype(jnp.bfloat16)
 
-            def perm(x, axis):
+            def perm(x, f):  # permute x's LAST axis by the 0/1 matrix f
                 hi_part = x.astype(jnp.bfloat16)
                 lo_part = (x - hi_part.astype(jnp.float32)).astype(jnp.bfloat16)
-                dims = (((axis,), (0,)), ((), ()))
-                out = jax.lax.dot_general(
-                    hi_part, ex, dims, preferred_element_type=jnp.float32,
+                dims = (((x.ndim - 1,), (0,)), ((), ()))
+                return jax.lax.dot_general(
+                    hi_part, f, dims, preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
-                    lo_part, ex, dims, preferred_element_type=jnp.float32,
+                    lo_part, f, dims, preferred_element_type=jnp.float32,
                 )
-                return out
 
-            if layout == "swapped":
-                c1 = perm(jnp.swapaxes(t, 1, 2), 2)  # (w, k2, k1rev)
-            else:
-                c1 = perm(t, 1)          # (w, k2, k1rev)
-            c1 = jnp.swapaxes(c1, 1, 2)  # (w, k1rev, k2)
-            c = perm(c1, 2)              # (w, k1rev, k2rev)
-            d = pltpu.roll(c, 1, 1)       # shift k1 by +1
-            e = pltpu.roll(d, 1, 2)       # row-0 needs one extra k2 shift
-            k1_idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-            return jnp.where(k1_idx == 0, e, d)
+            c1 = perm(jnp.swapaxes(t, 1, 2), exs_b)  # (2w, k2, k1->N1-k1)
+            c1 = jnp.swapaxes(c1, 1, 2)              # (2w, k1', k2)
+            c = perm(c1, ex)                         # k2 -> N2-1-k2 (k1'>=1)
+            row0 = perm(c1[:, 0:1, :], exs_b)        # k1'=0: k2 -> (N2-k2)%N2
+            k1_idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+            return jnp.where(k1_idx == 0, row0, c)
 
         yr3, yi3 = fft(zr, zi)
-        zr_f = flatten(yr3)
-        zi_f = flatten(yi3)
+        zr_f = flatten_half(yr3)
+        zi_f = flatten_half(yi3)
         # one negate pass for both tensors (stacked along the window axis)
         both = jnp.concatenate([yr3, yi3], axis=0)
-        both_rev = negate_freq(both)
-        zr_rev = flatten(both_rev[:wchunk])
-        zi_rev = flatten(both_rev[wchunk:])
+        both_rev = negate_freq_half(both)
+        zr_rev = flatten_half(both_rev[:wchunk])
+        zi_rev = flatten_half(both_rev[wchunk:])
         p = zr_f * zr_f + zi_f * zi_f
         p_rev = zr_rev * zr_rev + zi_rev * zi_rev
         c = zr_f * zr_rev - zi_f * zi_rev
-        g = g2[:]
+        g = g2[:, :HALF]
         mid_p = 0.25 * (p + p_rev + 2.0 * c) * g
         side_p = 0.25 * (p + p_rev - 2.0 * c) * g
 
         def pool(x):
-            pm = jnp.max(x.reshape(wchunk, BANDS, per), axis=-1)
-            return jnp.where(
+            pm = jnp.max(x.reshape(wchunk, HB, per), axis=-1)
+            db = jnp.where(
                 pm > 0.0,
                 10.0 * jnp.log10(jnp.maximum(pm, 1e-38)),
                 jnp.float32(C.SPECTRUM_FLOOR_DB),
             )
+            # bands >= HB have zero gain everywhere: emit the floor
+            floor = jnp.full((wchunk, BANDS - HB), C.SPECTRUM_FLOOR_DB,
+                             jnp.float32)
+            return jnp.concatenate([db, floor], axis=-1)
 
         mid_out[0] = pool(mid_p)
         side_out[0] = pool(side_p)
@@ -273,7 +286,7 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
         # double-buffered window scratch overflows the 16 MB VMEM budget
         wchunk = 16 if dtype == jnp.bfloat16 else 8
 
-    (f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch, per, _) = _consts(rate)
+    (f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch, exs, per, _) = _consts(rate)
     b, n = l.shape
     nhop = n // HOP
     nw_full = nhop - K + 1
@@ -302,6 +315,7 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
             pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = [
             pl.BlockSpec((1, wchunk, BANDS), lambda i, j: (i, j, 0),
@@ -325,5 +339,5 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
         ],
         interpret=interpret,
     )(frames_l, frames_r, f1r, f1i, f2r, f2i, twr, twi,
-      hann.reshape(1, WIN), g2.reshape(1, WIN), exch)
+      hann.reshape(1, WIN), g2.reshape(1, WIN), exch, exs)
     return mid, side

@@ -23,26 +23,28 @@ _ANSI = re.compile(rb"\x1b\[[0-9;?]*[a-zA-Z]|\x1b[()][0-9A-B]|\x1b[=>]")
 
 
 def _spawn_tui(path, cols=100, rows=30):
-    pid, fd = pty.fork()
-    if pid == 0:  # child
-        os.environ["TERM"] = "xterm-256color"
-        os.environ["COLUMNS"], os.environ["LINES"] = str(cols), str(rows)
-        try:
-            sys.argv = ["soundscope-tpu", "tui", path]
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
-            from soundscope_tpu.apps.cli import main
-
-            os._exit(main(["tui", path]))
-        except BaseException:
-            os._exit(3)
-    # set the window size so curses sees a sane geometry
+    # openpty + a FRESH python subprocess: pty.fork() from the (threaded)
+    # pytest process deadlocks in the child
     import fcntl
+    import subprocess
     import termios
 
-    fcntl.ioctl(fd, termios.TIOCSWINSZ, struct.pack("HHHH", rows, cols, 0, 0))
-    return pid, fd
+    master, slave = pty.openpty()
+    fcntl.ioctl(master, termios.TIOCSWINSZ, struct.pack("HHHH", rows, cols, 0, 0))
+    env = dict(os.environ, TERM="xterm-256color",
+               COLUMNS=str(cols), LINES=str(rows))
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "from soundscope_tpu.apps.cli import main\n"
+        f"raise SystemExit(main(['tui', {path!r}]))\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdin=slave, stdout=slave,
+        stderr=subprocess.DEVNULL, env=env, cwd=repo, start_new_session=True,
+    )
+    os.close(slave)
+    return proc, master
 
 
 def _drain(fd, seconds):
@@ -64,7 +66,7 @@ def test_tui_end_to_end_pty(tmp_path):
     song = str(tmp_path / "tone.wav")
     write_wav(song, stereo(sine(500.0, 2.0, 44100, -12.0)), 44100)
 
-    pid, fd = _spawn_tui(song)
+    proc, fd = _spawn_tui(song)
     try:
         # startup + file load + first analysis frames (cpu jit compiles)
         screen = _drain(fd, 25.0)
@@ -81,19 +83,11 @@ def test_tui_end_to_end_pty(tmp_path):
         os.write(fd, b" ")           # pause
         _drain(fd, 0.5)
         os.write(fd, b"q")           # quit
-        deadline = time.monotonic() + 15.0
-        status = None
-        while time.monotonic() < deadline:
-            done, st = os.waitpid(pid, os.WNOHANG)
-            if done:
-                status = st
-                break
-            time.sleep(0.2)
-        assert status is not None, "TUI did not exit on 'q'"
-        assert os.waitstatus_to_exitcode(status) == 0
-    finally:
         try:
-            os.kill(pid, 9)
-        except ProcessLookupError:
-            pass
+            assert proc.wait(timeout=15.0) == 0
+        except Exception as e:
+            raise AssertionError(f"TUI did not exit cleanly on 'q': {e}")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
         os.close(fd)
