@@ -150,11 +150,17 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
         def mxu(a):
             return a.astype(dtype)
 
-        def mml(x, f):  # contract x's LAST axis with f (c, b)
-            return jax.lax.dot_general(
-                mxu(x), mxu(f), (((x.ndim - 1,), (0,)), ((), ())),
+        def mml(x, f):
+            """Contract x's LAST axis with f (c, b), merging the leading
+            dims first: one (w*128, 128) @ (128, 128) MXU matmul instead
+            of w small ones (leading-dim merge is a free re-tiling)."""
+            lead = x.shape[:-1]
+            y = jax.lax.dot_general(
+                mxu(x.reshape(-1, x.shape[-1])), mxu(f),
+                (((1,), (0,)), ((), ())),
                 precision=hi, preferred_element_type=jnp.float32,
             )
+            return y.reshape(*lead, f.shape[1])
 
         def fft_orig(xr, xi):
 
@@ -220,14 +226,17 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
             exs_b = exs[:].astype(jnp.bfloat16)
 
             def perm(x, f):  # permute x's LAST axis by the 0/1 matrix f
-                hi_part = x.astype(jnp.bfloat16)
-                lo_part = (x - hi_part.astype(jnp.float32)).astype(jnp.bfloat16)
-                dims = (((x.ndim - 1,), (0,)), ((), ()))
-                return jax.lax.dot_general(
+                lead = x.shape[:-1]
+                x2 = x.reshape(-1, x.shape[-1])  # merge: one big matmul
+                hi_part = x2.astype(jnp.bfloat16)
+                lo_part = (x2 - hi_part.astype(jnp.float32)).astype(jnp.bfloat16)
+                dims = (((1,), (0,)), ((), ()))
+                y = jax.lax.dot_general(
                     hi_part, f, dims, preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
                     lo_part, f, dims, preferred_element_type=jnp.float32,
                 )
+                return y.reshape(*lead, f.shape[1])
 
             c1 = perm(jnp.swapaxes(t, 1, 2), exs_b)  # (2w, k2, k1->N1-k1)
             c1 = jnp.swapaxes(c1, 1, 2)              # (2w, k1', k2)
