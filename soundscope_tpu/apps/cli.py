@@ -29,7 +29,8 @@ from soundscope_tpu import __version__
 from soundscope_tpu.utils.metrics import GLOBAL as RT
 
 
-def _analyze_paths(paths: list[str], spectrogram_dir: str | None = None) -> list[dict]:
+def _analyze_paths(paths: list[str], spectrogram_dir: str | None = None,
+                   timeline_dir: str | None = None) -> list[dict]:
     from soundscope_tpu.models.engine import pad_bucket
     from soundscope_tpu.utils.io import DecodeError, decode_file
 
@@ -42,7 +43,7 @@ def _analyze_paths(paths: list[str], spectrogram_dir: str | None = None) -> list
 
     def flush(key):
         items = buckets.pop(key)
-        _analyze_bucket(key, items, results, spectrogram_dir)
+        _analyze_bucket(key, items, results, spectrogram_dir, timeline_dir)
 
     for p in paths:
         try:
@@ -62,7 +63,8 @@ def _analyze_paths(paths: list[str], spectrogram_dir: str | None = None) -> list
     return sorted(results, key=lambda r: order.get(r["file"], 1 << 30))
 
 
-def _analyze_bucket(key, items, results, spectrogram_dir=None) -> None:
+def _analyze_bucket(key, items, results, spectrogram_dir=None,
+                    timeline_dir=None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -111,6 +113,19 @@ def _analyze_bucket(key, items, results, spectrogram_dir=None) -> None:
             out = os.path.join(spectrogram_dir, d.title + ".spec.npz")
             np.savez_compressed(out, **spec)
             row["spectrogram"] = out
+        if timeline_dir is not None:
+            # momentary (400 ms) / short-term (3 s) loudness at 100 ms hop
+            nm = int(res.n_momentary[i])
+            nst = int(res.n_shortterm[i])
+            out = os.path.join(timeline_dir, d.title + ".loudness.npz")
+            np.savez_compressed(
+                out,
+                momentary_lufs=np.asarray(res.momentary[i][:nm]),
+                shortterm_lufs=np.asarray(res.shortterm[i][:nst]),
+                hop_seconds=0.1,
+                rate=rate,
+            )
+            row["timeline"] = out
         results.append(row)
 
 
@@ -130,7 +145,10 @@ def cmd_analyze(args) -> int:
     spec_dir = getattr(args, "spectrogram", None)
     if spec_dir:
         os.makedirs(spec_dir, exist_ok=True)
-    rows = _analyze_paths(args.files, spectrogram_dir=spec_dir)
+    tl_dir = getattr(args, "timeline", None)
+    if tl_dir:
+        os.makedirs(tl_dir, exist_ok=True)
+    rows = _analyze_paths(args.files, spectrogram_dir=spec_dir, timeline_dir=tl_dir)
     if args.json:
         print(json.dumps(rows, indent=None if args.compact else 2))
     else:
@@ -188,7 +206,19 @@ def cmd_bench(_args) -> int:
     return 0
 
 
+_SUBCOMMANDS = ("analyze", "scan", "tui", "themes", "bench")
+
+
+def _normalize_argv(argv: list[str]) -> list[str]:
+    """Reference surface: `soundscope [OPTIONS] [FILE]` opens the TUI on
+    FILE directly (src/main.rs:21-30) — a bare path maps to `tui PATH`."""
+    if argv and not argv[0].startswith("-") and argv[0] not in _SUBCOMMANDS:
+        return ["tui"] + list(argv)
+    return list(argv)
+
+
 def main(argv=None) -> int:
+    argv = _normalize_argv(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(
         prog="soundscope-tpu",
         description="TPU-native audio analyzer (soundscope rebuild)",
@@ -202,6 +232,8 @@ def main(argv=None) -> int:
     a.add_argument("--compact", action="store_true")
     a.add_argument("--spectrogram", metavar="DIR",
                    help="also write pooled mid/side spectrograms (.spec.npz)")
+    a.add_argument("--timeline", metavar="DIR",
+                   help="also write momentary/short-term timelines (.loudness.npz)")
     a.add_argument("--metrics", action="store_true",
                    help="print per-op RT-factor metrics JSON on stderr")
     a.set_defaults(fn=cmd_analyze)

@@ -105,3 +105,43 @@ def test_cli_metrics_flag(tmp_path, capsys):
     assert "analyze" in rep and "decode" in rep
     assert rep["analyze"]["calls"] >= 1
     assert rep["analyze"]["audio_s"] > 0.9
+
+
+def test_bare_file_maps_to_tui():
+    """`soundscope-tpu SONG.wav` opens the TUI like the reference binary
+    (src/main.rs:21-30)."""
+    from soundscope_tpu.apps.cli import _normalize_argv
+
+    assert _normalize_argv(["song.wav"]) == ["tui", "song.wav"]
+    assert _normalize_argv(["analyze", "x.wav"]) == ["analyze", "x.wav"]
+    assert _normalize_argv(["-v"]) == ["-v"]
+    assert _normalize_argv([]) == []
+
+
+def test_cli_timeline_export(tmp_path, capsys):
+    import json as _json
+
+    import numpy as np
+
+    from soundscope_tpu.apps.cli import main
+    from soundscope_tpu.utils.io import write_wav
+    from soundscope_tpu.utils.synth import segments, sine, stereo
+
+    # 4 s at -23 then 4 s at -33: the short-term timeline must show both
+    x = stereo(segments([sine(997.0, 4.0, 48000, -23.0),
+                         sine(997.0, 4.0, 48000, -33.0)]))
+    p = str(tmp_path / "steps.wav")
+    write_wav(p, x, 48000)
+    out_dir = str(tmp_path / "tl")
+    rc = main(["analyze", p, "--json", "--compact", "--timeline", out_dir])
+    assert rc == 0
+    row = _json.loads(capsys.readouterr().out)[0]
+    data = np.load(row["timeline"])
+    st = data["shortterm_lufs"]
+    mom = data["momentary_lufs"]
+    assert float(data["hop_seconds"]) == 0.1
+    assert len(mom) > len(st) > 0
+    # settled values at the end of each half
+    assert abs(st[int(3.5 / 0.1) - 30] + 23.0) < 0.2
+    assert abs(st[-1] + 33.0) < 0.2
+    assert abs(mom[int(3.5 / 0.1) - 4] + 23.0) < 0.2
