@@ -45,7 +45,9 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
 
     cfg = MeterConfig(channels=2, rate=rate, max_blocks=0)
     n = int(seconds * rate)
-    n = (n // cfg.block) * cfg.block
+    # round to 16 IIR blocks so the sequential-grid kernels can batch
+    # blocks per step at any sample rate (nb divisible by 16)
+    n = (n // (cfg.block * 16)) * (cfg.block * 16)
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
 
     analyze = jax.jit(analyze_batch_native(cfg))
