@@ -242,6 +242,8 @@ def main(argv=None) -> int:
     s.add_argument("dir")
     s.add_argument("--json", action="store_true")
     s.add_argument("--compact", action="store_true")
+    s.add_argument("--timeline", metavar="DIR",
+                   help="also write momentary/short-term timelines (.loudness.npz)")
     s.add_argument("--metrics", action="store_true",
                    help="print per-op RT-factor metrics JSON on stderr")
     s.set_defaults(fn=cmd_scan)
