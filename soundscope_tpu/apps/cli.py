@@ -41,9 +41,12 @@ def _analyze_paths(paths: list[str], spectrogram_dir: str | None = None,
     buckets: dict[tuple, list] = {}
     FLUSH_AT = 64
 
+    used_names: dict = {}
+
     def flush(key):
         items = buckets.pop(key)
-        _analyze_bucket(key, items, results, spectrogram_dir, timeline_dir)
+        _analyze_bucket(key, items, results, spectrogram_dir, timeline_dir,
+                        used_names)
 
     for p in paths:
         try:
@@ -63,8 +66,17 @@ def _analyze_paths(paths: list[str], spectrogram_dir: str | None = None,
     return sorted(results, key=lambda r: order.get(r["file"], 1 << 30))
 
 
+def _export_path(dir_: str, title: str, suffix: str, used: dict) -> str:
+    """Collision-free export filename: same-titled tracks from different
+    folders must not overwrite each other's products."""
+    n = used.get((dir_, title, suffix), 0) + 1
+    used[(dir_, title, suffix)] = n
+    name = title if n == 1 else f"{title}-{n}"
+    return os.path.join(dir_, name + suffix)
+
+
 def _analyze_bucket(key, items, results, spectrogram_dir=None,
-                    timeline_dir=None) -> None:
+                    timeline_dir=None, used_names=None) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -110,14 +122,16 @@ def _analyze_bucket(key, items, results, spectrogram_dir=None,
             from soundscope_tpu.ops.stft import spectrogram
 
             spec = spectrogram(d.samples, d.rate)
-            out = os.path.join(spectrogram_dir, d.title + ".spec.npz")
+            out = _export_path(spectrogram_dir, d.title, ".spec.npz",
+                               used_names if used_names is not None else {})
             np.savez_compressed(out, **spec)
             row["spectrogram"] = out
         if timeline_dir is not None:
             # momentary (400 ms) / short-term (3 s) loudness at 100 ms hop
             nm = int(res.n_momentary[i])
             nst = int(res.n_shortterm[i])
-            out = os.path.join(timeline_dir, d.title + ".loudness.npz")
+            out = _export_path(timeline_dir, d.title, ".loudness.npz",
+                               used_names if used_names is not None else {})
             np.savez_compressed(
                 out,
                 momentary_lufs=np.asarray(res.momentary[i][:nm]),
@@ -210,9 +224,12 @@ _SUBCOMMANDS = ("analyze", "scan", "tui", "themes", "bench")
 
 
 def _normalize_argv(argv: list[str]) -> list[str]:
-    """Reference surface: `soundscope [OPTIONS] [FILE]` opens the TUI on
-    FILE directly (src/main.rs:21-30) — a bare path maps to `tui PATH`."""
-    if argv and not argv[0].startswith("-") and argv[0] not in _SUBCOMMANDS:
+    """Reference surface: `soundscope [OPTIONS] [FILE]` opens the TUI —
+    with FILE, on that file; with no arguments, empty (src/main.rs:21-30).
+    A bare path maps to `tui PATH`; no arguments map to `tui`."""
+    if not argv:
+        return ["tui"]
+    if not argv[0].startswith("-") and argv[0] not in _SUBCOMMANDS:
         return ["tui"] + list(argv)
     return list(argv)
 

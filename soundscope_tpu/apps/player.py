@@ -168,8 +168,8 @@ class AlsaSink:
     def write(self, interleaved_f32: np.ndarray):
         try:
             self.proc.stdin.write(interleaved_f32.astype("<f4").tobytes())
-        except BrokenPipeError:
-            pass
+        except (BrokenPipeError, ValueError, OSError):
+            pass  # sink died or stop() closed stdin from another thread
 
     def stop(self):
         try:
@@ -210,9 +210,12 @@ class SinkFeeder:
                 time.sleep(self.POLL_S)
                 continue
             pos = self.transport.position()
-            # seek (either direction) leaves the fed cursor out of the
-            # [pos, pos+2*lead] window — snap it back to the playhead
-            if self._fed < pos or self._fed > pos + 2 * lead:
+            # seek (either direction) leaves the fed cursor outside the
+            # feed window — snap it back to the playhead. The small margin
+            # beyond `lead` absorbs clock jitter right after a write
+            # (where _fed == pos + lead exactly) without re-feeding.
+            margin = rate // 20  # 50 ms
+            if self._fed < pos or self._fed > pos + lead + margin:
                 self._fed = pos
             target = min(pos + lead, frames)
             if target > self._fed:

@@ -274,7 +274,8 @@ class App:
                     behind -= q
                     pushed = True
             if pushed:
-                with RT.measure("live_frame", q / 44100.0):
+                # q interleaved pseudo-stereo samples = q/2 audio frames
+                with RT.measure("live_frame", q / 2 / 44100.0):
                     f = self.live.frame()
                 self.live_stats = f
                 xs = self.live.spectrum_chart_x
@@ -326,21 +327,26 @@ class App:
             self._live_consumed = 0
             # First push/frame jit-compiles for seconds; do it on a worker
             # thread so the mode switch doesn't freeze the UI loop (the
-            # live path stays idle until warm — see analyze_microphone_input)
-            self.live_ready.clear()
+            # live path stays idle until warm — see analyze_microphone_input).
+            # A FRESH event per selection: a stale warm thread from a
+            # previous device must not unblock the new, still-cold analyzer.
+            ready = threading.Event()
+            self.live_ready = ready
 
-            def _warm(live=self.live):
+            def _warm(live=self.live, ready=ready):
                 try:
                     live.push(np.zeros(self._live_quantum, np.float32))
                     live.frame()
                     live.reset()  # drop the warmup zeros from the meter
                 finally:
-                    self.live_ready.set()
+                    ready.set()
 
             threading.Thread(target=_warm, daemon=True).start()
         except Exception:
             self.live = None
-            self.live_ready.set()
+            ev = threading.Event()
+            ev.set()
+            self.live_ready = ev
         self.fft_gain_db = 0.0
         self.lufs = [-100.0] * LUFS_HISTORY
         self.show_devices = False

@@ -234,11 +234,20 @@ int ss_decode_flac(const char* path, DecodedWavLayout* out) {
     return -3;
   }
   fclose(f);
-  if (memcmp(buf.data(), "fLaC", 4) != 0) return -4;
+  // tolerate a leading ID3v2 tag (common in the wild; other decoders skip it)
+  size_t off = 0;
+  if (buf.size() >= 10 && memcmp(buf.data(), "ID3", 3) == 0) {
+    uint32_t sz = ((uint32_t)(buf[6] & 0x7F) << 21) |
+                  ((uint32_t)(buf[7] & 0x7F) << 14) |
+                  ((uint32_t)(buf[8] & 0x7F) << 7) | (buf[9] & 0x7F);
+    off = 10u + sz;
+    if (off + 4 > buf.size()) return -4;
+  }
+  if (memcmp(buf.data() + off, "fLaC", 4) != 0) return -4;
 
   // --- metadata blocks ---
   StreamInfo si;
-  size_t pos = 4;
+  size_t pos = off + 4;
   bool have_si = false, last = false;
   while (!last && pos + 4 <= buf.size()) {
     uint8_t hdr = buf[pos];

@@ -39,6 +39,12 @@ N2 = 128
 BANDS = 128
 
 
+def pallas_supported(rate: int) -> bool:
+    """The kernel pools only the sub-Nyquist half of the spectrum, which
+    requires the 20 kHz display ceiling to sit strictly below Nyquist."""
+    return rate > 2 * C.SPECTRUM_FMAX_HZ
+
+
 @functools.lru_cache(maxsize=None)
 def _consts(rate: int):
     k1 = np.arange(N1)
@@ -55,9 +61,14 @@ def _consts(rate: int):
     exs = np.zeros((N1, N1), np.float32)
     for n_ in range(N1):
         exs[n_, (N1 - n_) % N1] = 1.0
-    # sanity: with k = k1 + N1*k2, gain is zero at and above Nyquist —
-    # the kernel's half-spectrum pooling relies on it
-    assert not np.any(g2[WIN // 2:] > 0.0), "display range crosses Nyquist"
+    # with k = k1 + N1*k2, gain must be zero at and above Nyquist for the
+    # kernel's half-spectrum pooling (callers gate on pallas_supported)
+    if np.any(g2[WIN // 2:] > 0.0):
+        raise ValueError(
+            f"stft_pooled_pallas: display range reaches Nyquist at rate "
+            f"{rate} (needs rate > {2 * C.SPECTRUM_FMAX_HZ}); use the XLA "
+            "path (ops/stft.stft_midside_display)"
+        )
     return (
         f1.real.astype(np.float32), f1.imag.astype(np.float32),
         f2.real.astype(np.float32), f2.imag.astype(np.float32),

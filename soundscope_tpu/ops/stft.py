@@ -91,9 +91,13 @@ def spectrogram(samples_planar, rate: int, use_pallas: str = "auto"):
     else:
         l = r = x[0]
     lj, rj = jnp.asarray(l[None]), jnp.asarray(r[None])
+    from soundscope_tpu.ops.pallas_stft import pallas_supported
+
     on_tpu = jax.default_backend() == "tpu"
     _, per, centers = _pooled_gain_plan(C.DEFAULT_FFT_SIZE, rate, 128)
-    if use_pallas == "yes" or (use_pallas == "auto" and on_tpu):
+    if pallas_supported(rate) and (
+        use_pallas == "yes" or (use_pallas == "auto" and on_tpu)
+    ):
         from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
 
         mid, side = stft_pooled_pallas(lj, rj, rate)

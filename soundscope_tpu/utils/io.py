@@ -295,7 +295,12 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
     if ext in ("aiff", "aif", "aifc"):
         return decode_aiff(path)
     if ext == "flac" and nat is not None:
-        return nat.decode_flac(path)
+        try:
+            return nat.decode_flac(path)
+        except DecodeError:
+            # exotic container framing: let the codec bridge / ffmpeg try
+            if not nat.codecs_available() and _ffmpeg_bin() is None:
+                raise
     if nat is not None and nat.codecs_available():
         try:
             return nat.decode_any(path)

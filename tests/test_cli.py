@@ -1,6 +1,7 @@
 """CLI host: analyze/scan/themes through the real argv surface."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -115,7 +116,8 @@ def test_bare_file_maps_to_tui():
     assert _normalize_argv(["song.wav"]) == ["tui", "song.wav"]
     assert _normalize_argv(["analyze", "x.wav"]) == ["analyze", "x.wav"]
     assert _normalize_argv(["-v"]) == ["-v"]
-    assert _normalize_argv([]) == []
+    # no args opens the TUI like the reference binary
+    assert _normalize_argv([]) == ["tui"]
 
 
 def test_cli_timeline_export(tmp_path, capsys):
@@ -145,3 +147,54 @@ def test_cli_timeline_export(tmp_path, capsys):
     assert abs(st[int(3.5 / 0.1) - 30] + 23.0) < 0.2
     assert abs(st[-1] + 33.0) < 0.2
     assert abs(mom[int(3.5 / 0.1) - 4] + 23.0) < 0.2
+
+
+def test_no_args_maps_to_tui():
+    from soundscope_tpu.apps.cli import _normalize_argv
+
+    assert _normalize_argv([]) == ["tui"]
+
+
+def test_export_names_do_not_collide(tmp_path, capsys):
+    """Two same-titled files in different folders keep separate timelines."""
+    import json as _json
+
+    import numpy as np
+
+    from soundscope_tpu.apps.cli import main
+    from soundscope_tpu.utils.io import write_wav
+    from soundscope_tpu.utils.synth import sine, stereo
+
+    for sub, db in [("a", -23.0), ("b", -33.0)]:
+        os.makedirs(tmp_path / sub, exist_ok=True)
+        write_wav(str(tmp_path / sub / "intro.wav"),
+                  stereo(sine(997.0, 4.0, 48000, db)), 48000)
+    out_dir = str(tmp_path / "tl")
+    rc = main(["scan", str(tmp_path), "--json", "--compact",
+               "--timeline", out_dir])
+    assert rc == 0
+    rows = _json.loads(capsys.readouterr().out)
+    tls = {r["file"]: r["timeline"] for r in rows}
+    assert len(set(tls.values())) == 2
+    vals = sorted(float(np.load(t)["shortterm_lufs"][-1]) for t in tls.values())
+    assert abs(vals[0] + 33.0) < 0.3 and abs(vals[1] + 23.0) < 0.3
+
+
+def test_low_rate_spectrogram_uses_xla_path(tmp_path):
+    """Rates whose Nyquist is inside the display range cannot use the
+    half-spectrum Pallas kernel; spectrogram() must gate and succeed."""
+    import numpy as np
+    import pytest
+
+    from soundscope_tpu.ops.pallas_stft import pallas_supported, stft_pooled_pallas
+    from soundscope_tpu.ops.stft import spectrogram
+    from soundscope_tpu.utils.synth import sine, stereo
+
+    assert not pallas_supported(32000) and pallas_supported(44100)
+    x = stereo(sine(500.0, 1.5, 32000, -12.0))
+    spec = spectrogram(np.asarray(x), 32000, use_pallas="yes")
+    assert spec["mid_db"].shape[1] == 128
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="Nyquist"):
+        stft_pooled_pallas(jnp.zeros((1, 1 << 15)), jnp.zeros((1, 1 << 15)), 32000)

@@ -154,3 +154,23 @@ def test_fuzz_bitflips_never_crash(tmp_path):
             assert got.samples.shape[1] <= x.shape[1] + 65536
         except DecodeError:
             pass  # rejecting corrupt input is fine; crashing is not
+
+
+def test_id3_prefixed_flac(tmp_path):
+    """FLAC files with a leading ID3v2 tag (common in the wild) decode."""
+    dec = _native()
+    x = stereo(sine(440.0, 0.5, RATE, -10.0))
+    body = encode_flac(x, RATE)
+    payload = b"junkmetadata" * 10
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [(len(payload) >> 21) & 0x7F, (len(payload) >> 14) & 0x7F,
+         (len(payload) >> 7) & 0x7F, len(payload) & 0x7F]
+    ) + payload
+    p = str(tmp_path / "tagged.flac")
+    with open(p, "wb") as f:
+        f.write(id3 + body)
+    got = dec.decode_flac(p)
+    np.testing.assert_array_equal(got.samples, _quantized(x))
+    # and through the dispatcher
+    d = decode_file(p)
+    np.testing.assert_array_equal(d.samples, _quantized(x))
