@@ -147,14 +147,16 @@ def batch_decode_strict(frames_list: list[bytes]) -> list[np.ndarray]:
     """mpg123 batch decode: [Z,T,Z,T,...,Z]; frames are independent
     (main_data_begin=0) and a failed frame decodes as silence in place."""
     from oracle_mpg123 import decode_frames_mpg123
+    import frames as _F
 
+    z = zero_frame()   # at the frame writer's CURRENT sample rate
     res = []
     for i in range(0, len(frames_list), 48):
         chunk = frames_list[i: i + 48]
-        frames = [Z]
+        frames = [z]
         for t in chunk:
-            frames += [t, Z]
-        out = decode_frames_mpg123(frames)
+            frames += [t, z]
+        out = decode_frames_mpg123(frames, rate=_F.RATE)
         assert len(out) == 1152 * len(frames), (len(out), len(frames))
         for j in range(len(chunk)):
             res.append(out[1152 * (1 + 2 * j): 1152 * (1 + 2 * j) + 2304])
