@@ -17,7 +17,7 @@ _SO = os.path.join(_DIR, "libssnative.so")
 _lib = None
 
 
-_SOURCES = ("decoder.cpp", "flac.cpp", "codecs.cpp")
+_SOURCES = ("decoder.cpp", "flac.cpp", "mp3.cpp", "codecs.cpp")
 
 
 def _libav_headers() -> bool:
@@ -69,6 +69,8 @@ def _load():
     lib.ss_decode_wav.restype = ctypes.c_int
     lib.ss_decode_flac.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_flac.restype = ctypes.c_int
+    lib.ss_decode_mp3.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_mp3.restype = ctypes.c_int
     lib.ss_decode_any.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_any.restype = ctypes.c_int
     lib.ss_codecs_available.restype = ctypes.c_int
@@ -143,6 +145,13 @@ class decoder:
     def decode_flac(path: str):
         """First-party FLAC decoder (native/flac.cpp)."""
         return _decode_with("ss_decode_flac", path, "FLAC")
+
+    @staticmethod
+    def decode_mp3(path: str):
+        """First-party MPEG-1 Layer III decoder (native/mp3.cpp); raises
+        DecodeError for LSF/Layer I/II streams so the caller can fall
+        back to the codec bridge."""
+        return _decode_with("ss_decode_mp3", path, "MP3")
 
     @staticmethod
     def decode_any(path: str):

@@ -1,0 +1,764 @@
+// First-party MPEG-1 Layer III (MP3) decoder — written from the format
+// specification with every arbitrary constant table (Huffman codes,
+// synthesis window, scalefactor bands, slen pairs) derived by black-box
+// probing of the system's decoders with crafted bitstreams
+// (tools/mp3_extract/*.py). No third-party decoder source was consulted.
+//
+// The reference delegates MP3 to the symphonia crate
+// (/root/reference/src/audio_player.rs:169-267, Cargo.toml:21); this is
+// the rebuild's own implementation, sitting in front of the libav codec
+// bridge (codecs.cpp), which remains the fallback for MPEG-2/2.5 (LSF),
+// Layer I/II, and free-format streams.
+//
+// Scope: MPEG-1 Layer III, 32/44.1/48 kHz, mono/stereo/joint (MS and
+// intensity) /dual, long/short/start/stop and mixed blocks, bit
+// reservoir, CRC frames, ID3v2 skip, Xing/Info/VBRI tag-frame skip.
+// Output: planar float32 via the DecodedWav ABI of decoder.cpp.
+//
+// Robustness: undecodable frames are skipped (the reference skips bad
+// packets, audio_player.rs:261); an error is returned only when no
+// audio could be decoded at all.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+#include "mp3_tables.inc"
+
+struct DecodedWavLayout {
+  float* data;
+  int64_t frames;
+  int32_t channels;
+  int32_t rate;
+};
+
+namespace mp3 {
+
+// ---------------------------------------------------------------------------
+// bit reader (MSB first)
+
+struct Bits {
+  const uint8_t* p;
+  size_t nbits;
+  size_t pos = 0;
+  bool err = false;
+
+  Bits(const uint8_t* p_, size_t nbytes) : p(p_), nbits(nbytes * 8) {}
+
+  inline uint32_t get1() {
+    if (pos >= nbits) { err = true; return 0; }
+    uint32_t v = (p[pos >> 3] >> (7 - (pos & 7))) & 1u;
+    pos++;
+    return v;
+  }
+  uint32_t get(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | get1();
+    return v;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// header
+
+struct Header {
+  int version;      // 3 = MPEG-1 (only version decoded natively)
+  int bitrate;      // bits/s
+  int rate;         // Hz
+  int rate_idx;     // 0=44100 1=48000 2=32000 (table index)
+  bool crc;         // protection bit == 0 -> 16-bit CRC follows header
+  bool padding;
+  int mode;         // 0 stereo, 1 joint, 2 dual, 3 mono
+  int mode_ext;
+  int channels;
+  int frame_bytes;
+};
+
+static const int kBitrateV1L3[16] = {0,   32,  40,  48,  56,  64,  80, 96,
+                                     112, 128, 160, 192, 224, 256, 320, 0};
+static const int kRateV1[4] = {44100, 48000, 32000, 0};
+
+static bool parse_header(uint32_t h, Header* out) {
+  if ((h >> 21) != 0x7FF) return false;
+  int version = (h >> 19) & 3;
+  int layer = (h >> 17) & 3;
+  if (version != 3 || layer != 1) return false;  // MPEG-1 Layer III only
+  int bidx = (h >> 12) & 15;
+  int ridx = (h >> 10) & 3;
+  if (bidx == 0 || bidx == 15 || ridx == 3) return false;  // free/bad
+  out->version = version;
+  out->bitrate = kBitrateV1L3[bidx] * 1000;
+  out->rate = kRateV1[ridx];
+  out->rate_idx = ridx;
+  out->crc = ((h >> 16) & 1) == 0;
+  out->padding = (h >> 9) & 1;
+  out->mode = (h >> 6) & 3;
+  out->mode_ext = (h >> 4) & 3;
+  out->channels = out->mode == 3 ? 1 : 2;
+  out->frame_bytes = 144 * out->bitrate / out->rate + (out->padding ? 1 : 0);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// side info
+
+struct GrInfo {
+  int part2_3_length, big_values, global_gain, scalefac_compress;
+  bool window_switching;
+  int block_type, mixed;
+  int table_select[3];
+  int subblock_gain[3];
+  int region0, region1;
+  int preflag, scalefac_scale, count1table;
+};
+
+struct SideInfo {
+  int main_data_begin;
+  int scfsi[2][4];
+  GrInfo gr[2][2];  // [granule][channel]
+};
+
+static bool read_side_info(Bits& b, int channels, SideInfo* si) {
+  si->main_data_begin = b.get(9);
+  b.get(channels == 1 ? 5 : 3);  // private bits
+  for (int ch = 0; ch < channels; ch++)
+    for (int g = 0; g < 4; g++) si->scfsi[ch][g] = b.get1();
+  for (int gr = 0; gr < 2; gr++) {
+    for (int ch = 0; ch < channels; ch++) {
+      GrInfo& g = si->gr[gr][ch];
+      g.part2_3_length = b.get(12);
+      g.big_values = b.get(9);
+      g.global_gain = b.get(8);
+      g.scalefac_compress = b.get(4);
+      g.window_switching = b.get1();
+      if (g.window_switching) {
+        g.block_type = b.get(2);
+        g.mixed = b.get1();
+        g.table_select[0] = b.get(5);
+        g.table_select[1] = b.get(5);
+        g.table_select[2] = 0;
+        for (int w = 0; w < 3; w++) g.subblock_gain[w] = b.get(3);
+        // implied regions (spec): region0 covers the first 36 lines for
+        // short/mixed; start/stop blocks behave like long single-region
+        g.region0 = 7;
+        g.region1 = 13;
+        if (g.block_type == 0) return false;  // forbidden combination
+      } else {
+        g.block_type = 0;
+        g.mixed = 0;
+        for (int r = 0; r < 3; r++) g.table_select[r] = b.get(5);
+        g.region0 = b.get(4);
+        g.region1 = b.get(3);
+        g.subblock_gain[0] = g.subblock_gain[1] = g.subblock_gain[2] = 0;
+      }
+      g.preflag = b.get1();
+      g.scalefac_scale = b.get1();
+      g.count1table = b.get1();
+      if (b.err) return false;
+    }
+  }
+  return !b.err;
+}
+
+// ---------------------------------------------------------------------------
+// Huffman trees (built once from the extracted tables)
+
+struct Tree {
+  // node i: children at next[i][0..1]; sym >= 0 means leaf (x<<4|y)
+  std::vector<int16_t> next0, next1;
+  std::vector<int16_t> sym;
+  int add_node() {
+    next0.push_back(-1);
+    next1.push_back(-1);
+    sym.push_back(-1);
+    return (int)next0.size() - 1;
+  }
+};
+
+static Tree g_big[32];
+static Tree g_quadA;
+static bool g_trees_ready = false;
+
+static void tree_insert(Tree& t, uint32_t code, int len, int symbol) {
+  if (t.next0.empty()) t.add_node();
+  int cur = 0;
+  for (int i = len - 1; i >= 0; i--) {
+    int bit = (code >> i) & 1;
+    int16_t* slot = bit ? &t.next1[cur] : &t.next0[cur];
+    if (*slot < 0) {
+      int n = t.add_node();
+      // vector growth may invalidate slot; re-derive
+      if (bit)
+        t.next1[cur] = (int16_t)n;
+      else
+        t.next0[cur] = (int16_t)n;
+      cur = n;
+    } else {
+      cur = *slot;
+    }
+  }
+  t.sym[cur] = (int16_t)symbol;
+}
+
+static void build_trees() {
+  if (g_trees_ready) return;
+  for (int i = 0; i < 32; i++) {
+    const Mp3HuffTable& ht = kHuffTables[i];
+    for (int e = 0; e < ht.n; e++)
+      tree_insert(g_big[i], ht.e[e].code, ht.e[e].len,
+                  (ht.e[e].x << 4) | ht.e[e].y);
+  }
+  for (size_t e = 0; e < sizeof(kCount1A) / sizeof(kCount1A[0]); e++)
+    tree_insert(g_quadA, kCount1A[e].code, kCount1A[e].len, kCount1A[e].vwxy);
+  g_trees_ready = true;
+}
+
+static int tree_decode(const Tree& t, Bits& b) {
+  int cur = 0;
+  while (t.sym[cur] < 0) {
+    int bit = b.get1();
+    cur = bit ? t.next1[cur] : t.next0[cur];
+    if (cur < 0 || b.err) return -1;
+  }
+  return t.sym[cur];
+}
+
+// ---------------------------------------------------------------------------
+// DSP constants
+
+struct Dsp {
+  float nmat[64][32];      // synthesis matrixing cos((16+i)(2k+1)pi/64)
+  float imdct36[36][18];
+  float imdct12[12][6];
+  float win[4][36];        // block types 0..3 (type 2 slot holds zeros)
+  float win_short[12];
+  float cs[8], ca[8];
+  float pow43[8207 + 16];
+
+  Dsp() {
+    for (int i = 0; i < 64; i++)
+      for (int k = 0; k < 32; k++)
+        nmat[i][k] = (float)cos((16 + i) * (2 * k + 1) * M_PI / 64.0);
+    for (int i = 0; i < 36; i++)
+      for (int k = 0; k < 18; k++)
+        imdct36[i][k] = (float)cos(M_PI / 72.0 * (2 * i + 1 + 18) * (2 * k + 1));
+    for (int i = 0; i < 12; i++)
+      for (int k = 0; k < 6; k++)
+        imdct12[i][k] = (float)cos(M_PI / 24.0 * (2 * i + 1 + 6) * (2 * k + 1));
+    for (int i = 0; i < 36; i++) {
+      double v = sin(M_PI / 36.0 * (i + 0.5));
+      win[0][i] = (float)v;
+      win[1][i] = (float)(i < 18 ? v : (i < 24 ? 1.0
+                    : (i < 30 ? sin(M_PI / 12.0 * (i - 18 + 0.5)) : 0.0)));
+      win[3][i] = (float)(i < 6 ? 0.0 : (i < 12 ? sin(M_PI / 12.0 * (i - 6 + 0.5))
+                    : (i < 18 ? 1.0 : v)));
+      win[2][i] = 0.0f;
+    }
+    for (int i = 0; i < 12; i++)
+      win_short[i] = (float)sin(M_PI / 12.0 * (i + 0.5));
+    static const double ci[8] = {-0.6, -0.535, -0.33, -0.185,
+                                 -0.095, -0.041, -0.0142, -0.0037};
+    for (int i = 0; i < 8; i++) {
+      cs[i] = (float)(1.0 / sqrt(1.0 + ci[i] * ci[i]));
+      ca[i] = (float)(ci[i] / sqrt(1.0 + ci[i] * ci[i]));
+    }
+    for (int i = 0; i < 8207 + 16; i++) pow43[i] = (float)pow(i, 4.0 / 3.0);
+  }
+};
+
+static const Dsp& dsp() {
+  static Dsp d;
+  return d;
+}
+
+// ---------------------------------------------------------------------------
+// per-granule decode
+
+struct Scalefactors {
+  int l[23] = {0};      // long bands 0..21
+  int s[13][3] = {{0}}; // short bands 0..12 x window
+};
+
+// Read scalefactors; returns bits consumed. `prev` holds granule-0
+// factors of the same channel for scfsi reuse.
+static void read_scalefactors(Bits& b, const GrInfo& g, const int scfsi[4],
+                              int granule, Scalefactors* sf,
+                              Scalefactors* prev) {
+  int slen1 = kSlen[g.scalefac_compress][0];
+  int slen2 = kSlen[g.scalefac_compress][1];
+  if (g.window_switching && g.block_type == 2) {
+    if (g.mixed) {
+      for (int band = 0; band < 8; band++) sf->l[band] = b.get(slen1);
+      for (int band = 3; band < 6; band++)
+        for (int w = 0; w < 3; w++) sf->s[band][w] = b.get(slen1);
+    } else {
+      for (int band = 0; band < 6; band++)
+        for (int w = 0; w < 3; w++) sf->s[band][w] = b.get(slen1);
+    }
+    for (int band = 6; band < 12; band++)
+      for (int w = 0; w < 3; w++) sf->s[band][w] = b.get(slen2);
+    sf->s[12][0] = sf->s[12][1] = sf->s[12][2] = 0;
+  } else {
+    static const int kGroups[5] = {0, 6, 11, 16, 21};
+    for (int grp = 0; grp < 4; grp++) {
+      int slen = grp < 2 ? slen1 : slen2;
+      if (granule == 1 && scfsi[grp]) {
+        for (int band = kGroups[grp]; band < kGroups[grp + 1]; band++)
+          sf->l[band] = prev->l[band];
+      } else {
+        for (int band = kGroups[grp]; band < kGroups[grp + 1]; band++)
+          sf->l[band] = b.get(slen);
+      }
+    }
+    sf->l[21] = sf->l[22] = 0;
+  }
+}
+
+// Huffman-decode the spectrum into `ix` (signed integers) in Huffman
+// order; returns number of lines with data (zero padding after).
+static int read_huffman(Bits& b, const GrInfo& g, int rate_idx,
+                        size_t part2_3_end, int32_t ix[576]) {
+  memset(ix, 0, 576 * sizeof(int32_t));
+  const uint16_t* sfb = kSfbLong[rate_idx];
+  int region1_start, region2_start;
+  if (g.window_switching) {
+    region1_start = 36;
+    region2_start = 576;
+  } else {
+    int r0 = g.region0 + 1;
+    int r1 = r0 + g.region1 + 1;
+    region1_start = sfb[r0 > 22 ? 22 : r0];
+    region2_start = sfb[r1 > 22 ? 22 : r1];
+  }
+  int big = g.big_values * 2;
+  if (big > 576) big = 576;
+  for (int i = 0; i < big; i += 2) {
+    int tsel = i < region1_start ? g.table_select[0]
+               : (i < region2_start ? g.table_select[1] : g.table_select[2]);
+    if (tsel == 0) continue;  // table 0: all zeros, no bits
+    const Tree& t = g_big[tsel];
+    if (t.sym.empty()) return -1;  // tables 4/14 are invalid
+    int symbol = tree_decode(t, b);
+    if (symbol < 0) return -1;
+    int x = symbol >> 4, y = symbol & 15;
+    int lb = kHuffTables[tsel].linbits;
+    if (x == 15 && lb) x += b.get(lb);
+    if (x) x = b.get1() ? -x : x;
+    if (y == 15 && lb) y += b.get(lb);
+    if (y) y = b.get1() ? -y : y;
+    ix[i] = x;
+    ix[i + 1] = y;
+    if (b.pos > part2_3_end || b.err) return -1;
+  }
+  int i = big;
+  while (b.pos < part2_3_end && i <= 572) {
+    int quad;
+    if (g.count1table) {
+      quad = 15 - (int)b.get(4);
+    } else {
+      quad = tree_decode(g_quadA, b);
+      if (quad < 0) break;
+    }
+    int vals[4] = {(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1};
+    for (int k = 0; k < 4; k++)
+      if (vals[k] && b.get1()) vals[k] = -1;
+    if (b.pos > part2_3_end) break;  // overran into ancillary bits: drop quad
+    for (int k = 0; k < 4; k++) ix[i + k] = vals[k];
+    i += 4;
+  }
+  return i > big ? i : big;
+}
+
+// Requantize + (for short blocks) reorder into xr[576] laid out as
+// [subband][w*6+slot] for short windows and [subband][line] for long.
+static void requantize(const GrInfo& g, const Scalefactors& sf, int rate_idx,
+                       const int32_t ix[576], int lines, float xr[576]) {
+  const Dsp& D = dsp();
+  memset(xr, 0, 576 * sizeof(float));
+  float gain = 0.25f * (float)(g.global_gain - 210);
+  float sfstep = 0.5f * (float)(1 + g.scalefac_scale);
+  const uint16_t* lsfb = kSfbLong[rate_idx];
+  const uint16_t* ssfb = kSfbShort[rate_idx];
+
+  auto val = [&](int i, float mult) -> float {
+    int32_t v = ix[i];
+    if (v == 0) return 0.0f;
+    float m = v < 0 ? -D.pow43[-v] : D.pow43[v];
+    return m * mult;
+  };
+
+  bool short_blk = g.window_switching && g.block_type == 2;
+  if (!short_blk) {
+    int band = 0;
+    for (int i = 0; i < lines; i++) {
+      while (band < 22 && i >= lsfb[band + 1]) band++;
+      float mult = exp2f(gain - sfstep * (float)(sf.l[band] +
+                          (g.preflag ? kPretab[band] : 0)));
+      xr[i] = val(i, mult);
+    }
+    return;
+  }
+
+  int ix_pos = 0;
+  int start_band = 0;
+  if (g.mixed) {
+    // first 36 lines: long bands 0..7
+    int band = 0;
+    for (int i = 0; i < 36 && i < lines; i++) {
+      while (band < 8 && i >= lsfb[band + 1]) band++;
+      float mult = exp2f(gain - sfstep * (float)(sf.l[band] +
+                          (g.preflag ? kPretab[band] : 0)));
+      xr[i] = val(i, mult);
+    }
+    ix_pos = 36;
+    start_band = 3;
+  }
+  for (int band = start_band; band < 13 && ix_pos < 576; band++) {
+    int lo = ssfb[band], hi = ssfb[band + 1];
+    int width = hi - lo;
+    for (int w = 0; w < 3; w++) {
+      float mult = exp2f(gain - 2.0f * (float)g.subblock_gain[w] -
+                         sfstep * (float)sf.s[band][w]);
+      for (int l = 0; l < width && ix_pos < 576; l++, ix_pos++) {
+        if (ix_pos >= lines) continue;
+        int L = lo + l;                       // line within this window
+        int sb = L / 6, slot = L % 6;
+        xr[sb * 18 + w * 6 + slot] = val(ix_pos, mult);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// stereo processing (on requantized, reordered spectra)
+
+static void stereo_process(const Header& h, const GrInfo& gright,
+                           const Scalefactors& sfr, int rate_idx,
+                           int right_lines_ix, float xl[576], float xr[576]) {
+  bool ms = (h.mode_ext & 2) != 0;
+  bool is = (h.mode_ext & 1) != 0;
+  const float invsq = 0.70710678118654752f;
+
+  // intensity bound: first line of the scalefactor band at/above the
+  // right channel's last Huffman-coded line (in xr layout both channels
+  // share band geometry; for short blocks the bound is per-band anyway)
+  if (!is) {
+    if (ms) {
+      for (int i = 0; i < 576; i++) {
+        float m = xl[i], s = xr[i];
+        xl[i] = (m + s) * invsq;
+        xr[i] = (m - s) * invsq;
+      }
+    }
+    return;
+  }
+
+  bool short_blk = gright.window_switching && gright.block_type == 2;
+  const uint16_t* lsfb = kSfbLong[rate_idx];
+  const uint16_t* ssfb = kSfbShort[rate_idx];
+
+  auto apply_pair = [&](int i, bool intensity, int is_pos) {
+    if (!intensity || is_pos == 7) {
+      if (ms) {
+        float m = xl[i], s = xr[i];
+        xl[i] = (m + s) * invsq;
+        xr[i] = (m - s) * invsq;
+      }
+      return;
+    }
+    float ratio = tanf((float)is_pos * (float)M_PI / 12.0f);
+    float l = xl[i];
+    xl[i] = l * (ratio / (1.0f + ratio));
+    xr[i] = l * (1.0f / (1.0f + ratio));
+  };
+
+  if (!short_blk) {
+    // zero part of the right channel starts after its last coded line
+    int bound = right_lines_ix;
+    for (int band = 0; band < 22; band++) {
+      bool intensity = lsfb[band] >= bound;
+      for (int i = lsfb[band]; i < lsfb[band + 1]; i++)
+        apply_pair(i, intensity, sfr.l[band]);
+    }
+  } else {
+    // per (band, window): intensity where the right channel's band is
+    // entirely zero (checked on the reordered spectrum)
+    for (int band = 0; band < 13; band++) {
+      int lo = ssfb[band], hi = ssfb[band + 1];
+      for (int w = 0; w < 3; w++) {
+        bool zero = true;
+        for (int L = lo; L < hi; L++) {
+          int idx = (L / 6) * 18 + w * 6 + (L % 6);
+          if (xr[idx] != 0.0f) { zero = false; break; }
+        }
+        int is_pos = band < 12 ? sfr.s[band][w] : 7;
+        for (int L = lo; L < hi; L++) {
+          int idx = (L / 6) * 18 + w * 6 + (L % 6);
+          apply_pair(idx, zero, is_pos);
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// alias reduction, hybrid synthesis
+
+static void alias_reduce(const GrInfo& g, float xr[576]) {
+  const Dsp& D = dsp();
+  bool short_blk = g.window_switching && g.block_type == 2;
+  int bounds = short_blk ? (g.mixed ? 1 : 0) : 31;
+  for (int sb = 1; sb <= bounds; sb++) {
+    for (int i = 0; i < 8; i++) {
+      int lo = 18 * sb - 1 - i, up = 18 * sb + i;
+      float a = xr[lo], b2 = xr[up];
+      xr[lo] = a * D.cs[i] - b2 * D.ca[i];
+      xr[up] = b2 * D.cs[i] + a * D.ca[i];
+    }
+  }
+}
+
+struct ChannelState {
+  float overlap[32][18] = {{0}};
+  float v[1024] = {0};
+};
+
+// One granule: xr[576] -> 576 PCM samples appended to out.
+static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
+                         std::vector<float>* out) {
+  const Dsp& D = dsp();
+  bool short_blk = g.window_switching && g.block_type == 2;
+  float ts[32][18];  // time samples per subband
+
+  for (int sb = 0; sb < 32; sb++) {
+    const float* X = xr + sb * 18;
+    float z[36];
+    bool use_short = short_blk && !(g.mixed && sb < 2);
+    if (use_short) {
+      memset(z, 0, sizeof(z));
+      for (int w = 0; w < 3; w++) {
+        float zz[12];
+        for (int i = 0; i < 12; i++) {
+          float acc = 0.0f;
+          for (int k = 0; k < 6; k++) acc += D.imdct12[i][k] * X[w * 6 + k];
+          zz[i] = acc * D.win_short[i];
+        }
+        for (int i = 0; i < 12; i++) z[6 + 6 * w + i] += zz[i];
+      }
+    } else {
+      int bt = short_blk ? 0 : g.block_type;  // mixed long subbands: type 0
+      if (g.window_switching && g.block_type != 2) bt = g.block_type;
+      if (!g.window_switching) bt = 0;
+      const float* W = D.win[bt == 2 ? 0 : bt];
+      for (int i = 0; i < 36; i++) {
+        float acc = 0.0f;
+        for (int k = 0; k < 18; k++) acc += D.imdct36[i][k] * X[k];
+        z[i] = acc * W[i];
+      }
+    }
+    for (int i = 0; i < 18; i++) {
+      ts[sb][i] = z[i] + st->overlap[sb][i];
+      st->overlap[sb][i] = z[18 + i];
+    }
+  }
+  // frequency inversion
+  for (int sb = 1; sb < 32; sb += 2)
+    for (int i = 1; i < 18; i += 2) ts[sb][i] = -ts[sb][i];
+
+  // polyphase synthesis: 18 steps of 32 samples
+  size_t base = out->size();
+  out->resize(base + 576);
+  float* o = out->data() + base;
+  for (int t = 0; t < 18; t++) {
+    memmove(st->v + 64, st->v, 960 * sizeof(float));
+    for (int i = 0; i < 64; i++) {
+      float acc = 0.0f;
+      for (int k = 0; k < 32; k++) acc += D.nmat[i][k] * ts[k][t];
+      st->v[i] = acc;
+    }
+    float u[512];
+    for (int i = 0; i < 8; i++) {
+      memcpy(u + 64 * i, st->v + 128 * i, 32 * sizeof(float));
+      memcpy(u + 64 * i + 32, st->v + 128 * i + 96, 32 * sizeof(float));
+    }
+    for (int j = 0; j < 32; j++) {
+      float acc = 0.0f;
+      for (int i = 0; i < 16; i++) acc += u[j + 32 * i] * kSynthD[j + 32 * i];
+      o[t * 32 + j] = acc;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// decoder driver
+
+struct Decoder {
+  Header h;
+  bool have_format = false;
+  std::vector<uint8_t> reservoir;
+  ChannelState st[2];
+  std::vector<float> pcm[2];
+
+  // returns false if the frame had to be skipped
+  bool decode_frame(const uint8_t* fr, size_t n, const Header& hdr) {
+    size_t off = 4 + (hdr.crc ? 2 : 0);
+    size_t side_bytes = hdr.channels == 1 ? 17 : 32;
+    if (n < off + side_bytes) return false;
+    Bits sb(fr + off, side_bytes);
+    SideInfo si;
+    if (!read_side_info(sb, hdr.channels, &si)) return false;
+
+    const uint8_t* main = fr + off + side_bytes;
+    size_t main_len = n - off - side_bytes;
+
+    bool ok = true;
+    if ((size_t)si.main_data_begin > reservoir.size()) {
+      ok = false;  // reservoir not filled yet (stream start / seek)
+    }
+
+    if (ok) {
+      std::vector<uint8_t> data(reservoir.end() - si.main_data_begin,
+                                reservoir.end());
+      data.insert(data.end(), main, main + main_len);
+      Bits b(data.data(), data.size());
+
+      Scalefactors sf[2][2];
+      for (int gr = 0; gr < 2 && ok; gr++) {
+        float xr[2][576];
+        int lines[2] = {0, 0};
+        for (int ch = 0; ch < hdr.channels && ok; ch++) {
+          const GrInfo& g = si.gr[gr][ch];
+          size_t start = b.pos;
+          size_t end = start + g.part2_3_length;
+          if (end > b.nbits) { ok = false; break; }
+          read_scalefactors(b, g, si.scfsi[ch], gr, &sf[gr][ch], &sf[0][ch]);
+          int32_t ix[576];
+          int nl = read_huffman(b, g, hdr.rate_idx, end, ix);
+          if (nl < 0 || b.err) { ok = false; break; }
+          lines[ch] = nl;
+          requantize(g, sf[gr][ch], hdr.rate_idx, ix, nl, xr[ch]);
+          b.pos = end;  // skip ancillary bits within part2_3
+        }
+        if (!ok) break;
+        if (hdr.channels == 2 && hdr.mode == 1)
+          stereo_process(hdr, si.gr[gr][1], sf[gr][1], hdr.rate_idx,
+                         lines[1], xr[0], xr[1]);
+        for (int ch = 0; ch < hdr.channels; ch++) {
+          alias_reduce(si.gr[gr][ch], xr[ch]);
+          hybrid_synth(si.gr[gr][ch], xr[ch], &st[ch], &pcm[ch]);
+        }
+      }
+      if (!ok) {
+        // emit silence to keep time alignment
+        for (int ch = 0; ch < hdr.channels; ch++)
+          pcm[ch].resize(pcm[ch].size() + 1152, 0.0f);
+      }
+    } else {
+      for (int ch = 0; ch < hdr.channels; ch++)
+        pcm[ch].resize(pcm[ch].size() + 1152, 0.0f);
+    }
+
+    reservoir.insert(reservoir.end(), main, main + main_len);
+    if (reservoir.size() > 511)
+      reservoir.erase(reservoir.begin(), reservoir.end() - 511);
+    return ok;
+  }
+};
+
+static bool is_tag_frame(const uint8_t* fr, size_t n, const Header& h) {
+  size_t off = 4 + (h.crc ? 2 : 0) + (h.channels == 1 ? 17 : 32);
+  for (size_t i = off; i + 4 <= n && i < off + 32; i++) {
+    if (!memcmp(fr + i, "Xing", 4) || !memcmp(fr + i, "Info", 4) ||
+        !memcmp(fr + i, "VBRI", 4))
+      return true;
+  }
+  return false;
+}
+
+}  // namespace mp3
+
+extern "C" {
+
+// Decode an MPEG-1 Layer III file to planar float32. Returns 0 on
+// success; negative on failure (caller falls back to the codec bridge).
+int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (fsize < 4) { fclose(f); return -2; }
+  std::vector<uint8_t> buf((size_t)fsize);
+  if (fread(buf.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+    fclose(f);
+    return -3;
+  }
+  fclose(f);
+
+  size_t pos = 0;
+  // skip ID3v2
+  if (buf.size() >= 10 && !memcmp(buf.data(), "ID3", 3)) {
+    uint32_t sz = ((uint32_t)(buf[6] & 0x7F) << 21) |
+                  ((uint32_t)(buf[7] & 0x7F) << 14) |
+                  ((uint32_t)(buf[8] & 0x7F) << 7) | (buf[9] & 0x7F);
+    pos = 10 + sz;
+  }
+
+  mp3::build_trees();
+  mp3::Decoder dec;
+  int frames_done = 0;
+  bool first_audio_frame = true;
+
+  while (pos + 4 <= buf.size()) {
+    uint32_t hword = ((uint32_t)buf[pos] << 24) | ((uint32_t)buf[pos + 1] << 16) |
+                     ((uint32_t)buf[pos + 2] << 8) | buf[pos + 3];
+    mp3::Header h;
+    if (!mp3::parse_header(hword, &h)) {
+      if ((hword >> 21) == 0x7FF && frames_done == 0) {
+        // valid sync but not MPEG-1 L3 (LSF / Layer I/II / free format):
+        // not ours — let the codec bridge handle the file
+        return -4;
+      }
+      pos++;  // resync
+      continue;
+    }
+    if (dec.have_format &&
+        (h.rate != dec.h.rate || h.channels != dec.h.channels)) {
+      pos++;  // mid-stream format change: treat as noise, resync
+      continue;
+    }
+    if (pos + (size_t)h.frame_bytes > buf.size()) break;  // truncated tail
+    const uint8_t* fr = buf.data() + pos;
+    if (first_audio_frame && mp3::is_tag_frame(fr, h.frame_bytes, h)) {
+      pos += h.frame_bytes;
+      continue;  // Xing/Info/VBRI metadata frame: no audio
+    }
+    first_audio_frame = false;
+    if (!dec.have_format) {
+      dec.h = h;
+      dec.have_format = true;
+    }
+    dec.decode_frame(fr, h.frame_bytes, h);
+    frames_done++;
+    pos += h.frame_bytes;
+  }
+
+  if (!dec.have_format || dec.pcm[0].empty()) return -5;
+
+  int ch = dec.h.channels;
+  int64_t frames = (int64_t)dec.pcm[0].size();
+  float* data = (float*)malloc(sizeof(float) * (size_t)frames * ch);
+  if (!data) return -6;
+  for (int c = 0; c < ch; c++)
+    memcpy(data + (size_t)c * frames, dec.pcm[c].data(),
+           sizeof(float) * (size_t)frames);
+  out->data = data;
+  out->frames = frames;
+  out->channels = ch;
+  out->rate = dec.h.rate;
+  return 0;
+}
+
+}  // extern "C"

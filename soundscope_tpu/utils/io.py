@@ -301,6 +301,15 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
             # exotic container framing: let the codec bridge / ffmpeg try
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
+    if ext == "mp3" and nat is not None:
+        try:
+            return nat.decode_mp3(path)
+        except DecodeError:
+            # MPEG-2/2.5 (LSF), Layer I/II or free-format stream inside a
+            # .mp3: the first-party decoder covers MPEG-1 Layer III only;
+            # fall through to the codec bridge
+            if not nat.codecs_available() and _ffmpeg_bin() is None:
+                raise
     if nat is not None and nat.codecs_available():
         try:
             return nat.decode_any(path)

@@ -1,0 +1,220 @@
+"""First-party MPEG-1 Layer III decoder (native/mp3.cpp).
+
+Fixtures are encoded with the system's libmp3lame via ctypes; the
+decoded PCM is compared against the independent libav codec bridge
+(native/codecs.cpp) at float32 tolerance. Reference surface: symphonia's
+mp3 decode (/root/reference/src/audio_player.rs:169-267).
+"""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from soundscope_tpu.utils.io import DecodeError, decode_file
+from soundscope_tpu.utils.synth import sine, stereo
+
+
+def _native_mp3():
+    from soundscope_tpu.native import decoder
+
+    if not decoder.available():
+        pytest.skip("native runtime not built")
+    return decoder
+
+
+def _bridge():
+    from soundscope_tpu.native import decoder
+
+    if not (decoder.available() and decoder.codecs_available()):
+        pytest.skip("codec bridge not compiled in")
+    return decoder
+
+
+def _lame():
+    for name in ("libmp3lame.so.0", "libmp3lame.so"):
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    pytest.skip("libmp3lame not present")
+
+
+def write_mp3(path: str, planar: np.ndarray, rate: int, kbps: int = 192,
+              crc: bool = False, lametag: bool = False):
+    lame = _lame()
+    lame.lame_init.restype = ctypes.c_void_p
+    g = ctypes.c_void_p(lame.lame_init())
+    lame.lame_set_in_samplerate(g, rate)
+    lame.lame_set_out_samplerate(g, rate)
+    ch = planar.shape[0]
+    lame.lame_set_num_channels(g, ch)
+    lame.lame_set_brate(g, kbps)
+    if ch == 1:
+        lame.lame_set_mode(g, 3)
+    if crc:
+        lame.lame_set_error_protection(g, 1)
+    assert lame.lame_init_params(g) >= 0
+    n = planar.shape[1]
+    two = planar if ch == 2 else np.repeat(planar, 2, axis=0)
+    inter = np.ascontiguousarray(two.T, np.float32).reshape(-1)
+    out = ctypes.create_string_buffer(int(1.4 * n) + 7200)
+    wrote = lame.lame_encode_buffer_interleaved_ieee_float(
+        g, inter.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, out,
+        len(out))
+    assert wrote >= 0
+    tail = ctypes.create_string_buffer(7200)
+    wrote2 = lame.lame_encode_flush(g, tail, len(tail))
+    blob = out.raw[:wrote] + tail.raw[: max(wrote2, 0)]
+    if lametag:
+        tag = ctypes.create_string_buffer(2880)
+        tn = lame.lame_get_lametag_frame(g, tag, len(tag))
+        if 0 < tn <= len(tag):
+            blob = tag.raw[:tn] + blob
+    lame.lame_close(g)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def _material(kind: str, rate: int, secs: float = 2.0) -> np.ndarray:
+    rng = np.random.default_rng(99)
+    n = int(secs * rate)
+    if kind == "sine":
+        x = stereo(sine(997.0, secs, rate, -6.0))
+    elif kind == "noise":
+        x = np.asarray(rng.standard_normal((2, n)) * 0.2, np.float32)
+    else:  # transient: forces short/start/stop window switching
+        x = np.zeros((2, n), np.float32)
+        for k in range(0, n - 256, rate // 9):
+            x[:, k: k + 200] = rng.standard_normal((2, 200)) * 0.8
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def _compare(native, path, rtol=2e-5):
+    """Decode with both engines; PCM must agree to float32 noise."""
+    mine = np.asarray(native.decode_mp3(path).samples)
+    ref = np.asarray(native.decode_any(path).samples)
+    n = min(mine.shape[1], ref.shape[1])
+    assert n > 0
+    err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+    assert err < rtol, err
+    return mine
+
+
+@pytest.mark.parametrize("rate", [44100, 48000, 32000])
+@pytest.mark.parametrize("kind", ["noise", "transient"])
+def test_matches_bridge_all_rates(tmp_path, rate, kind):
+    nat = _native_mp3()
+    _bridge()
+    p = str(tmp_path / "t.mp3")
+    write_mp3(p, _material(kind, rate), rate, kbps=128)
+    mine = _compare(nat, p)
+    d = nat.decode_mp3(p)
+    assert d.rate == rate and d.channels == 2
+    assert mine.shape[1] % 1152 == 0
+
+
+def test_low_bitrate_escapes_and_mono(tmp_path):
+    """64 kbps noise exercises linbits escapes and heavy table selection."""
+    nat = _native_mp3()
+    _bridge()
+    p = str(tmp_path / "m.mp3")
+    write_mp3(p, _material("noise", 44100)[:1], 44100, kbps=64)
+    mine = _compare(nat, p)
+    assert mine.shape[0] == 1
+
+
+def test_crc_frames(tmp_path):
+    nat = _native_mp3()
+    _bridge()
+    p = str(tmp_path / "crc.mp3")
+    write_mp3(p, _material("sine", 44100), 44100, crc=True)
+    _compare(nat, p)
+
+
+def test_id3v2_skipped(tmp_path):
+    nat = _native_mp3()
+    p = str(tmp_path / "tagged.mp3")
+    write_mp3(p, _material("sine", 44100), 44100)
+    raw = open(p, "rb").read()
+    body = b"TAG-JUNK" * 40
+    sz = len(body)
+    hdr = bytes([0x49, 0x44, 0x33, 3, 0, 0,
+                 (sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                 (sz >> 7) & 0x7F, sz & 0x7F])
+    open(p, "wb").write(hdr + body + raw)
+    d = nat.decode_mp3(p)
+    assert d.duration > 1.8
+
+
+def test_lame_tag_frame_skipped(tmp_path):
+    """The Xing/Info tag frame carries no audio and must not add 1152
+    silent samples at the start."""
+    nat = _native_mp3()
+    p1 = str(tmp_path / "plain.mp3")
+    p2 = str(tmp_path / "tagged.mp3")
+    write_mp3(p1, _material("sine", 44100), 44100)
+    write_mp3(p2, _material("sine", 44100), 44100, lametag=True)
+    a = np.asarray(nat.decode_mp3(p1).samples)
+    b = np.asarray(nat.decode_mp3(p2).samples)
+    n = min(a.shape[1], b.shape[1])
+    assert np.max(np.abs(a[:, :n] - b[:, :n])) < 1e-6
+
+
+def test_truncated_file_returns_prefix(tmp_path):
+    nat = _native_mp3()
+    p = str(tmp_path / "trunc.mp3")
+    write_mp3(p, _material("sine", 44100), 44100)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[: len(raw) // 2])
+    d = nat.decode_mp3(p)
+    assert 0.5 < d.duration < 1.6
+
+
+def test_resyncs_over_garbage(tmp_path):
+    nat = _native_mp3()
+    p = str(tmp_path / "dirty.mp3")
+    write_mp3(p, _material("sine", 44100), 44100)
+    raw = open(p, "rb").read()
+    cut = (len(raw) // 2 // 418) * 418  # not frame-aligned in general
+    open(p, "wb").write(raw[:cut] + b"\x00" * 321 + raw[cut:])
+    d = nat.decode_mp3(p)
+    assert d.duration > 1.5
+
+
+def test_decode_file_prefers_native(tmp_path, monkeypatch):
+    nat = _native_mp3()
+    p = str(tmp_path / "x.mp3")
+    write_mp3(p, _material("sine", 44100), 44100)
+    called = {}
+    orig = nat.decode_mp3
+
+    def spy(path):
+        called["native"] = True
+        return orig(path)
+
+    monkeypatch.setattr(nat, "decode_mp3", spy)
+    d = decode_file(p)
+    assert called.get("native") and d.rate == 44100
+
+
+def test_lsf_falls_back_to_bridge(tmp_path):
+    """16 kHz = MPEG-2 LSF: outside the native decoder's scope; the
+    dispatch must fall back to the codec bridge transparently."""
+    nat = _native_mp3()
+    _bridge()
+    p = str(tmp_path / "lsf.mp3")
+    write_mp3(p, _material("sine", 16000), 16000)
+    with pytest.raises(DecodeError):
+        nat.decode_mp3(p)
+    d = decode_file(p)
+    assert d.rate == 16000 and d.duration > 1.5
+
+
+def test_garbage_raises(tmp_path):
+    nat = _native_mp3()
+    p = str(tmp_path / "junk.mp3")
+    open(p, "wb").write(os.urandom(4096))
+    with pytest.raises(DecodeError):
+        nat.decode_mp3(p)
