@@ -7,12 +7,12 @@
 // The reference delegates MP3 to the symphonia crate
 // (/root/reference/src/audio_player.rs:169-267, Cargo.toml:21); this is
 // the rebuild's own implementation, sitting in front of the libav codec
-// bridge (codecs.cpp), which remains the fallback for MPEG-2/2.5 (LSF),
-// Layer I/II, and free-format streams.
+// bridge (codecs.cpp), which remains the fallback for Layer I/II,
+// free-format, and LSF intensity-stereo streams.
 //
-// Scope: MPEG-1 Layer III, 32/44.1/48 kHz, mono/stereo/joint (MS and
-// intensity) /dual, long/short/start/stop and mixed blocks, bit
-// reservoir, CRC frames, ID3v2 skip, Xing/Info/VBRI tag-frame skip.
+// Scope: MPEG-1/2/2.5 Layer III at all nine sample rates, mono/stereo/
+// joint (MS and intensity)/dual, long/short/start/stop and mixed blocks,
+// bit reservoir, scfsi, CRC frames, ID3v2 skip, Xing/Info/VBRI skip.
 // Output: planar float32 via the DecodedWav ABI of decoder.cpp.
 //
 // Robustness: undecodable frames are skipped (the reference skips bad
@@ -64,41 +64,66 @@ struct Bits {
 // header
 
 struct Header {
-  int version;      // 3 = MPEG-1 (only version decoded natively)
+  int version;      // 3 = MPEG-1, 2 = MPEG-2 (LSF), 0 = MPEG-2.5 (LSF)
+  bool lsf;         // one granule, 576 samples/frame
   int bitrate;      // bits/s
   int rate;         // Hz
-  int rate_idx;     // 0=44100 1=48000 2=32000 (table index)
+  int rate_idx;     // header rate index within the version's rate family
   bool crc;         // protection bit == 0 -> 16-bit CRC follows header
   bool padding;
   int mode;         // 0 stereo, 1 joint, 2 dual, 3 mono
   int mode_ext;
   int channels;
   int frame_bytes;
+  int samples;      // 1152 (MPEG-1) or 576 (LSF)
 };
 
 static const int kBitrateV1L3[16] = {0,   32,  40,  48,  56,  64,  80, 96,
                                      112, 128, 160, 192, 224, 256, 320, 0};
+static const int kBitrateV2L3[16] = {0,  8,  16, 24, 32,  40,  48, 56,
+                                     64, 80, 96, 112, 128, 144, 160, 0};
 static const int kRateV1[4] = {44100, 48000, 32000, 0};
+static const int kRateV2[4] = {22050, 24000, 16000, 0};
+static const int kRateV25[4] = {11025, 12000, 8000, 0};
 
 static bool parse_header(uint32_t h, Header* out) {
   if ((h >> 21) != 0x7FF) return false;
   int version = (h >> 19) & 3;
   int layer = (h >> 17) & 3;
-  if (version != 3 || layer != 1) return false;  // MPEG-1 Layer III only
+  if (layer != 1) return false;                  // Layer III only
+  if (version == 1) return false;                // reserved
   int bidx = (h >> 12) & 15;
   int ridx = (h >> 10) & 3;
   if (bidx == 0 || bidx == 15 || ridx == 3) return false;  // free/bad
   out->version = version;
-  out->bitrate = kBitrateV1L3[bidx] * 1000;
-  out->rate = kRateV1[ridx];
+  out->lsf = version != 3;
+  if (version == 3) {
+    out->bitrate = kBitrateV1L3[bidx] * 1000;
+    out->rate = kRateV1[ridx];
+  } else {
+    out->bitrate = kBitrateV2L3[bidx] * 1000;
+    out->rate = (version == 2 ? kRateV2 : kRateV25)[ridx];
+  }
   out->rate_idx = ridx;
   out->crc = ((h >> 16) & 1) == 0;
   out->padding = (h >> 9) & 1;
   out->mode = (h >> 6) & 3;
   out->mode_ext = (h >> 4) & 3;
   out->channels = out->mode == 3 ? 1 : 2;
-  out->frame_bytes = 144 * out->bitrate / out->rate + (out->padding ? 1 : 0);
+  out->samples = out->lsf ? 576 : 1152;
+  out->frame_bytes = (out->lsf ? 72 : 144) * out->bitrate / out->rate +
+                     (out->padding ? 1 : 0);
   return true;
+}
+
+// scalefactor band tables for this stream
+static inline const uint16_t* sfb_long(const Header& h) {
+  if (!h.lsf) return kSfbLong[h.rate_idx];
+  return kSfbLongLsf[h.version == 2 ? 0 : 1][h.rate_idx];
+}
+static inline const uint16_t* sfb_short(const Header& h) {
+  if (!h.lsf) return kSfbShort[h.rate_idx];
+  return kSfbShortLsf[h.version == 2 ? 0 : 1][h.rate_idx];
 }
 
 // ---------------------------------------------------------------------------
@@ -120,18 +145,25 @@ struct SideInfo {
   GrInfo gr[2][2];  // [granule][channel]
 };
 
-static bool read_side_info(Bits& b, int channels, SideInfo* si) {
-  si->main_data_begin = b.get(9);
-  b.get(channels == 1 ? 5 : 3);  // private bits
-  for (int ch = 0; ch < channels; ch++)
-    for (int g = 0; g < 4; g++) si->scfsi[ch][g] = b.get1();
-  for (int gr = 0; gr < 2; gr++) {
+static bool read_side_info(Bits& b, const Header& h, SideInfo* si) {
+  int channels = h.channels;
+  si->main_data_begin = b.get(h.lsf ? 8 : 9);
+  if (h.lsf)
+    b.get(channels == 1 ? 1 : 2);  // private bits
+  else
+    b.get(channels == 1 ? 5 : 3);
+  memset(si->scfsi, 0, sizeof(si->scfsi));
+  if (!h.lsf)
+    for (int ch = 0; ch < channels; ch++)
+      for (int g = 0; g < 4; g++) si->scfsi[ch][g] = b.get1();
+  int granules = h.lsf ? 1 : 2;
+  for (int gr = 0; gr < granules; gr++) {
     for (int ch = 0; ch < channels; ch++) {
       GrInfo& g = si->gr[gr][ch];
       g.part2_3_length = b.get(12);
       g.big_values = b.get(9);
       g.global_gain = b.get(8);
-      g.scalefac_compress = b.get(4);
+      g.scalefac_compress = b.get(h.lsf ? 9 : 4);
       g.window_switching = b.get1();
       if (g.window_switching) {
         g.block_type = b.get(2);
@@ -153,7 +185,7 @@ static bool read_side_info(Bits& b, int channels, SideInfo* si) {
         g.region1 = b.get(3);
         g.subblock_gain[0] = g.subblock_gain[1] = g.subblock_gain[2] = 0;
       }
-      g.preflag = b.get1();
+      g.preflag = h.lsf ? 0 : b.get1();  // LSF: implied by scalefac_compress
       g.scalefac_scale = b.get1();
       g.count1table = b.get1();
       if (b.err) return false;
@@ -281,6 +313,55 @@ struct Scalefactors {
   int s[13][3] = {{0}}; // short bands 0..12 x window
 };
 
+// LSF scalefactors: slen groups + group sizes measured by oracle
+// probing (tools/mp3_extract/extract_lsf.py). `preflag_out` reports the
+// implicit preflag (scalefac_compress >= 500).
+static void read_scalefactors_lsf(Bits& b, const GrInfo& g,
+                                  Scalefactors* sf, int* preflag_out) {
+  int sc = g.scalefac_compress;
+  int slen[4], row;
+  if (sc < 400) {
+    slen[0] = (sc >> 4) / 5; slen[1] = (sc >> 4) % 5;
+    slen[2] = (sc & 15) >> 2; slen[3] = sc & 3;
+    row = 0;
+    *preflag_out = 0;
+  } else if (sc < 500) {
+    int s = sc - 400;
+    slen[0] = (s >> 2) / 5; slen[1] = (s >> 2) % 5;
+    slen[2] = s & 3; slen[3] = 0;
+    row = 1;
+    *preflag_out = 0;
+  } else {
+    int s = sc - 500;
+    slen[0] = s / 3; slen[1] = s % 3;
+    slen[2] = slen[3] = 0;
+    row = 2;
+    *preflag_out = 1;
+  }
+  bool short_blk = g.window_switching && g.block_type == 2;
+  int kind = short_blk ? (g.mixed ? 2 : 1) : 0;
+  const uint8_t* nr = kLsfNr[row][kind];
+  int vals[54];
+  int n = 0;
+  for (int grp = 0; grp < 4; grp++)
+    for (int i = 0; i < nr[grp]; i++) vals[n++] = (int)b.get(slen[grp]);
+  int k = 0;
+  if (!short_blk) {
+    for (int band = 0; band < n && band < 22; band++) sf->l[band] = vals[band];
+    sf->l[21] = sf->l[22] = 0;
+  } else {
+    if (g.mixed) {
+      for (int band = 0; band < 6; band++) sf->l[band] = vals[k++];
+      for (int band = 3; band < 12; band++)
+        for (int w = 0; w < 3; w++) sf->s[band][w] = vals[k++];
+    } else {
+      for (int band = 0; band < 12; band++)
+        for (int w = 0; w < 3; w++) sf->s[band][w] = vals[k++];
+    }
+    sf->s[12][0] = sf->s[12][1] = sf->s[12][2] = 0;
+  }
+}
+
 // Read scalefactors; returns bits consumed. `prev` holds granule-0
 // factors of the same channel for scfsi reuse.
 static void read_scalefactors(Bits& b, const GrInfo& g, const int scfsi[4],
@@ -318,13 +399,21 @@ static void read_scalefactors(Bits& b, const GrInfo& g, const int scfsi[4],
 
 // Huffman-decode the spectrum into `ix` (signed integers) in Huffman
 // order; returns number of lines with data (zero padding after).
-static int read_huffman(Bits& b, const GrInfo& g, int rate_idx,
+static int read_huffman(Bits& b, const GrInfo& g, const Header& h,
                         size_t part2_3_end, int32_t ix[576]) {
   memset(ix, 0, 576 * sizeof(int32_t));
-  const uint16_t* sfb = kSfbLong[rate_idx];
+  const uint16_t* sfb = sfb_long(h);
   int region1_start, region2_start;
   if (g.window_switching) {
-    region1_start = 36;
+    // boundaries measured by oracle probing (see extract rig): start/stop
+    // blocks and MPEG-1/2.5 mixed use sfb_long[8]; short non-mixed uses
+    // 3*sfb_short[3]; MPEG-2 mixed is the measured oddball at 36
+    if (g.block_type == 2 && !g.mixed)
+      region1_start = 3 * sfb_short(h)[3];
+    else if (g.block_type == 2 && g.mixed && h.version == 2)
+      region1_start = 36;
+    else
+      region1_start = sfb[8];
     region2_start = 576;
   } else {
     int r0 = g.region0 + 1;
@@ -373,14 +462,15 @@ static int read_huffman(Bits& b, const GrInfo& g, int rate_idx,
 
 // Requantize + (for short blocks) reorder into xr[576] laid out as
 // [subband][w*6+slot] for short windows and [subband][line] for long.
-static void requantize(const GrInfo& g, const Scalefactors& sf, int rate_idx,
+static void requantize(const GrInfo& g, const Scalefactors& sf,
+                       const Header& h, int preflag,
                        const int32_t ix[576], int lines, float xr[576]) {
   const Dsp& D = dsp();
   memset(xr, 0, 576 * sizeof(float));
   float gain = 0.25f * (float)(g.global_gain - 210);
   float sfstep = 0.5f * (float)(1 + g.scalefac_scale);
-  const uint16_t* lsfb = kSfbLong[rate_idx];
-  const uint16_t* ssfb = kSfbShort[rate_idx];
+  const uint16_t* lsfb = sfb_long(h);
+  const uint16_t* ssfb = sfb_short(h);
 
   auto val = [&](int i, float mult) -> float {
     int32_t v = ix[i];
@@ -395,7 +485,7 @@ static void requantize(const GrInfo& g, const Scalefactors& sf, int rate_idx,
     for (int i = 0; i < lines; i++) {
       while (band < 22 && i >= lsfb[band + 1]) band++;
       float mult = exp2f(gain - sfstep * (float)(sf.l[band] +
-                          (g.preflag ? kPretab[band] : 0)));
+                          (preflag ? kPretab[band] : 0)));
       xr[i] = val(i, mult);
     }
     return;
@@ -409,7 +499,7 @@ static void requantize(const GrInfo& g, const Scalefactors& sf, int rate_idx,
     for (int i = 0; i < 36 && i < lines; i++) {
       while (band < 8 && i >= lsfb[band + 1]) band++;
       float mult = exp2f(gain - sfstep * (float)(sf.l[band] +
-                          (g.preflag ? kPretab[band] : 0)));
+                          (preflag ? kPretab[band] : 0)));
       xr[i] = val(i, mult);
     }
     ix_pos = 36;
@@ -435,7 +525,7 @@ static void requantize(const GrInfo& g, const Scalefactors& sf, int rate_idx,
 // stereo processing (on requantized, reordered spectra)
 
 static void stereo_process(const Header& h, const GrInfo& gright,
-                           const Scalefactors& sfr, int rate_idx,
+                           const Scalefactors& sfr,
                            int right_lines_ix, float xl[576], float xr[576]) {
   bool ms = (h.mode_ext & 2) != 0;
   bool is = (h.mode_ext & 1) != 0;
@@ -456,8 +546,8 @@ static void stereo_process(const Header& h, const GrInfo& gright,
   }
 
   bool short_blk = gright.window_switching && gright.block_type == 2;
-  const uint16_t* lsfb = kSfbLong[rate_idx];
-  const uint16_t* ssfb = kSfbShort[rate_idx];
+  const uint16_t* lsfb = sfb_long(h);
+  const uint16_t* ssfb = sfb_short(h);
 
   auto apply_pair = [&](int i, bool intensity, int is_pos) {
     if (!intensity || is_pos == 7) {
@@ -604,11 +694,12 @@ struct Decoder {
   // returns false if the frame had to be skipped
   bool decode_frame(const uint8_t* fr, size_t n, const Header& hdr) {
     size_t off = 4 + (hdr.crc ? 2 : 0);
-    size_t side_bytes = hdr.channels == 1 ? 17 : 32;
+    size_t side_bytes = hdr.lsf ? (hdr.channels == 1 ? 9u : 17u)
+                                 : (hdr.channels == 1 ? 17u : 32u);
     if (n < off + side_bytes) return false;
     Bits sb(fr + off, side_bytes);
     SideInfo si;
-    if (!read_side_info(sb, hdr.channels, &si)) return false;
+    if (!read_side_info(sb, hdr, &si)) return false;
 
     const uint8_t* main = fr + off + side_bytes;
     size_t main_len = n - off - side_bytes;
@@ -625,7 +716,8 @@ struct Decoder {
       Bits b(data.data(), data.size());
 
       Scalefactors sf[2][2];
-      for (int gr = 0; gr < 2 && ok; gr++) {
+      int granules = hdr.lsf ? 1 : 2;
+      for (int gr = 0; gr < granules && ok; gr++) {
         float xr[2][576];
         int lines[2] = {0, 0};
         for (int ch = 0; ch < hdr.channels && ok; ch++) {
@@ -633,17 +725,21 @@ struct Decoder {
           size_t start = b.pos;
           size_t end = start + g.part2_3_length;
           if (end > b.nbits) { ok = false; break; }
-          read_scalefactors(b, g, si.scfsi[ch], gr, &sf[gr][ch], &sf[0][ch]);
+          int preflag = g.preflag;
+          if (hdr.lsf)
+            read_scalefactors_lsf(b, g, &sf[gr][ch], &preflag);
+          else
+            read_scalefactors(b, g, si.scfsi[ch], gr, &sf[gr][ch], &sf[0][ch]);
           int32_t ix[576];
-          int nl = read_huffman(b, g, hdr.rate_idx, end, ix);
+          int nl = read_huffman(b, g, hdr, end, ix);
           if (nl < 0 || b.err) { ok = false; break; }
           lines[ch] = nl;
-          requantize(g, sf[gr][ch], hdr.rate_idx, ix, nl, xr[ch]);
+          requantize(g, sf[gr][ch], hdr, preflag, ix, nl, xr[ch]);
           b.pos = end;  // skip ancillary bits within part2_3
         }
         if (!ok) break;
         if (hdr.channels == 2 && hdr.mode == 1)
-          stereo_process(hdr, si.gr[gr][1], sf[gr][1], hdr.rate_idx,
+          stereo_process(hdr, si.gr[gr][1], sf[gr][1],
                          lines[1], xr[0], xr[1]);
         for (int ch = 0; ch < hdr.channels; ch++) {
           alias_reduce(si.gr[gr][ch], xr[ch]);
@@ -653,11 +749,11 @@ struct Decoder {
       if (!ok) {
         // emit silence to keep time alignment
         for (int ch = 0; ch < hdr.channels; ch++)
-          pcm[ch].resize(pcm[ch].size() + 1152, 0.0f);
+          pcm[ch].resize(pcm[ch].size() + hdr.samples, 0.0f);
       }
     } else {
       for (int ch = 0; ch < hdr.channels; ch++)
-        pcm[ch].resize(pcm[ch].size() + 1152, 0.0f);
+        pcm[ch].resize(pcm[ch].size() + hdr.samples, 0.0f);
     }
 
     reservoir.insert(reservoir.end(), main, main + main_len);
@@ -668,7 +764,8 @@ struct Decoder {
 };
 
 static bool is_tag_frame(const uint8_t* fr, size_t n, const Header& h) {
-  size_t off = 4 + (h.crc ? 2 : 0) + (h.channels == 1 ? 17 : 32);
+  size_t off = 4 + (h.crc ? 2 : 0) +
+               (h.lsf ? (h.channels == 1 ? 9 : 17) : (h.channels == 1 ? 17 : 32));
   for (size_t i = off; i + 4 <= n && i < off + 32; i++) {
     if (!memcmp(fr + i, "Xing", 4) || !memcmp(fr + i, "Info", 4) ||
         !memcmp(fr + i, "VBRI", 4))
@@ -717,7 +814,7 @@ int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
     mp3::Header h;
     if (!mp3::parse_header(hword, &h)) {
       if ((hword >> 21) == 0x7FF && frames_done == 0) {
-        // valid sync but not MPEG-1 L3 (LSF / Layer I/II / free format):
+        // valid sync but not Layer III (Layer I/II / free format):
         // not ours — let the codec bridge handle the file
         return -4;
       }
@@ -731,6 +828,9 @@ int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
     }
     if (pos + (size_t)h.frame_bytes > buf.size()) break;  // truncated tail
     const uint8_t* fr = buf.data() + pos;
+    if (h.lsf && h.mode == 1 && (h.mode_ext & 1)) {
+      return -7;  // LSF intensity stereo: codec-bridge territory
+    }
     if (first_audio_frame && mp3::is_tag_frame(fr, h.frame_bytes, h)) {
       pos += h.frame_bytes;
       continue;  // Xing/Info/VBRI metadata frame: no audio

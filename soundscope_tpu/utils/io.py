@@ -305,9 +305,9 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
         try:
             return nat.decode_mp3(path)
         except DecodeError:
-            # MPEG-2/2.5 (LSF), Layer I/II or free-format stream inside a
-            # .mp3: the first-party decoder covers MPEG-1 Layer III only;
-            # fall through to the codec bridge
+            # Layer I/II, free-format, or LSF intensity-stereo stream in a
+            # .mp3: the first-party decoder covers MPEG-1/2/2.5 Layer III;
+            # fall through to the codec bridge for the rest
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
     if nat is not None and nat.codecs_available():

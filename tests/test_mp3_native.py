@@ -199,17 +199,32 @@ def test_decode_file_prefers_native(tmp_path, monkeypatch):
     assert called.get("native") and d.rate == 44100
 
 
-def test_lsf_falls_back_to_bridge(tmp_path):
-    """16 kHz = MPEG-2 LSF: outside the native decoder's scope; the
-    dispatch must fall back to the codec bridge transparently."""
+@pytest.mark.parametrize("rate", [22050, 24000, 16000, 11025, 12000, 8000])
+def test_lsf_rates_decode_natively(tmp_path, rate):
+    """MPEG-2 / MPEG-2.5 (LSF) streams decode first-party too."""
     nat = _native_mp3()
     _bridge()
     p = str(tmp_path / "lsf.mp3")
-    write_mp3(p, _material("sine", 16000), 16000)
+    write_mp3(p, _material("transient", rate), rate, kbps=32)
+    mine = _compare(nat, p)
+    d = nat.decode_mp3(p)
+    assert d.rate == rate
+    assert mine.shape[1] % 576 == 0
+
+
+def test_layer2_falls_back_to_bridge(tmp_path):
+    """An .mp3 file holding a Layer II stream is outside the native
+    decoder's scope; dispatch must fall back to the codec bridge."""
+    nat = _native_mp3()
+    bridge = _bridge()
+    p2 = str(tmp_path / "l2.mp2")
+    bridge.encode(p2, _material("sine", 44100), 44100, codec="mp2")
+    p = str(tmp_path / "l2.mp3")
+    os.rename(p2, p)  # Layer II stream wearing an .mp3 extension
     with pytest.raises(DecodeError):
         nat.decode_mp3(p)
     d = decode_file(p)
-    assert d.rate == 16000 and d.duration > 1.5
+    assert d.rate == 44100 and d.duration > 1.5
 
 
 def test_garbage_raises(tmp_path):
