@@ -565,8 +565,14 @@ static void stereo_process(const Header& h, const GrInfo& gright,
   };
 
   if (!short_blk) {
-    // zero part of the right channel starts after its last coded line
-    int bound = right_lines_ix;
+    // the zero part starts after the right channel's last NONZERO line
+    // (measured against mpg123 and libav: trailing coded zeros still
+    // count as zero part); intensity applies to the bands lying fully
+    // at/above that bound
+    int bound = 0;
+    for (int i = 575; i >= 0; i--)
+      if (xr[i] != 0.0f) { bound = i + 1; break; }
+    (void)right_lines_ix;
     for (int band = 0; band < 22; band++) {
       bool intensity = lsfb[band] >= bound;
       for (int i = lsfb[band]; i < lsfb[band + 1]; i++)
@@ -827,6 +833,20 @@ int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
       continue;
     }
     if (pos + (size_t)h.frame_bytes > buf.size()) break;  // truncated tail
+    if (!dec.have_format && pos + (size_t)h.frame_bytes + 4 <= buf.size()) {
+      // double-sync: before locking on to a stream, the next frame slot
+      // must also hold a same-family header (guards against random
+      // bytes that happen to look like one header)
+      size_t q = pos + (size_t)h.frame_bytes;
+      uint32_t h2w = ((uint32_t)buf[q] << 24) | ((uint32_t)buf[q + 1] << 16) |
+                     ((uint32_t)buf[q + 2] << 8) | buf[q + 3];
+      mp3::Header h2;
+      if (!mp3::parse_header(h2w, &h2) || h2.rate != h.rate ||
+          h2.version != h.version) {
+        pos++;
+        continue;
+      }
+    }
     const uint8_t* fr = buf.data() + pos;
     if (h.lsf && h.mode == 1 && (h.mode_ext & 1)) {
       return -7;  // LSF intensity stereo: codec-bridge territory

@@ -233,3 +233,47 @@ def test_garbage_raises(tmp_path):
     open(p, "wb").write(os.urandom(4096))
     with pytest.raises(DecodeError):
         nat.decode_mp3(p)
+
+
+def test_intensity_stereo_crafted_frames(tmp_path):
+    """Joint-stereo intensity (which LAME never emits) against the codec
+    bridge, on crafted frames from the extraction rig: is_pos 0..7,
+    MS+intensity combined, and zero-bounds on and off band edges."""
+    import sys
+
+    nat = _native_mp3()
+    _bridge()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "mp3_extract"))
+    from frames import GranuleSpec
+    from frames_stereo import make_stereo_frame, zero_stereo_frame
+
+    ones = ("0000" + "0000") * 30
+    g0 = GranuleSpec(part2_3_length=len(ones), count1table_select=1)
+    sf = "".join(format(v, "03b") for v in [0, 1, 2, 3, 4, 5, 6, 7, 2, 1, 0])
+    pair = "000" + "00"   # table-1 (1,1), positive signs
+
+    for mode_ext in (1, 3):
+        for tag, mains, bv in (("on-edge", pair * 2, 2),
+                               ("mid-band", pair * 3, 3),
+                               ("trailing-zero", pair * 3 + "1", 4),
+                               ("all-zero", "", 0)):
+            m1 = sf + mains
+            g1 = GranuleSpec(part2_3_length=len(m1), big_values=bv,
+                             scalefac_compress=4, table_select=(1, 1, 0),
+                             region0_count=15, region1_count=0)
+            frames = [zero_stereo_frame(mode=1, mode_ext=mode_ext),
+                      make_stereo_frame(
+                          [[g0, g1], [GranuleSpec(), GranuleSpec()]],
+                          [[ones, m1], ["", ""]], mode=1, mode_ext=mode_ext),
+                      zero_stereo_frame(mode=1, mode_ext=mode_ext)]
+            p = str(tmp_path / f"is_{mode_ext}_{tag}.mp3")
+            with open(p, "wb") as f:
+                f.write(b"".join(frames))
+            mine = np.asarray(nat.decode_mp3(p).samples)
+            ref = np.asarray(nat.decode_any(p).samples)
+            n = min(mine.shape[1], ref.shape[1])
+            err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+            # crafted spectra peak around 40x full scale; 1e-4 is float32
+            # noise at that amplitude
+            assert err < 1e-3, (mode_ext, tag, err)
