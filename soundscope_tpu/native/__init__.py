@@ -32,7 +32,8 @@ def build(force: bool = False) -> str:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     newest = max(os.path.getmtime(s) for s in srcs)
     if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
-        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *srcs, "-o", _SO]
+        base = ["g++", "-O3", "-march=native", "-funroll-loops",
+                "-shared", "-fPIC", "-std=c++17", *srcs, "-o", _SO]
         if _libav_headers():
             try:
                 subprocess.run(

@@ -58,6 +58,21 @@ struct Bits {
     for (int i = 0; i < n; i++) v = (v << 1) | get1();
     return v;
   }
+  // Peek up to 24 bits without consuming; zero-padded past the buffer
+  // end (callers bound consumption with part2_3 checks, and the main
+  // data buffer carries guard bytes).
+  inline uint32_t peek24() const {
+    size_t byte = pos >> 3;
+    uint32_t w = 0;
+    size_t nbytes = (nbits + 7) >> 3;
+    for (int i = 0; i < 4; i++)
+      w = (w << 8) | (byte + i < nbytes ? p[byte + i] : 0);
+    return (w >> (8 - (pos & 7))) & 0xFFFFFF;
+  }
+  inline void consume(int n) {
+    pos += n;
+    if (pos > nbits) { err = true; pos = nbits; }
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -213,6 +228,59 @@ static Tree g_big[32];
 static Tree g_quadA;
 static bool g_trees_ready = false;
 
+// Two-level lookup decode: 10-bit primary, 9-bit secondary (max code
+// length is 19). Entry len==0 -> invalid; len==0xFF -> secondary table
+// index in sym.
+struct LutEntry { uint8_t sym, len; };
+struct HuffLut {
+  std::vector<LutEntry> prim;                 // 1024
+  std::vector<std::vector<LutEntry>> secs;    // per long prefix: 512
+};
+static HuffLut g_lut[32];
+static LutEntry g_quadA_lut[64];              // count1-A codes are <= 6 bits
+
+static void lut_build(HuffLut& L, const Mp3HuffTable& ht) {
+  L.prim.assign(1024, LutEntry{0, 0});
+  for (int e = 0; e < ht.n; e++) {
+    int len = ht.e[e].len;
+    uint32_t code = ht.e[e].code;
+    uint8_t sym = (uint8_t)((ht.e[e].x << 4) | ht.e[e].y);
+    if (len <= 10) {
+      uint32_t base = code << (10 - len);
+      for (uint32_t k = 0; k < (1u << (10 - len)); k++)
+        L.prim[base + k] = LutEntry{sym, (uint8_t)len};
+    } else {
+      uint32_t hi = code >> (len - 10);
+      LutEntry& p = L.prim[hi];
+      if (p.len != 0xFF) {
+        p.len = 0xFF;
+        p.sym = (uint8_t)L.secs.size();
+        L.secs.emplace_back(512, LutEntry{0, 0});
+      }
+      auto& sec = L.secs[p.sym];
+      int rem = len - 10;
+      uint32_t lo = code & ((1u << rem) - 1);
+      uint32_t base = lo << (9 - rem);
+      for (uint32_t k = 0; k < (1u << (9 - rem)); k++)
+        sec[base + k] = LutEntry{sym, (uint8_t)rem};
+    }
+  }
+}
+
+static inline int lut_decode(const HuffLut& L, Bits& b) {
+  uint32_t w = b.peek24();
+  LutEntry e = L.prim[w >> 14];
+  if (e.len == 0) return -1;
+  if (e.len != 0xFF) {
+    b.consume(e.len);
+    return e.sym;
+  }
+  LutEntry s = L.secs[e.sym][(w >> 5) & 0x1FF];
+  if (s.len == 0) return -1;
+  b.consume(10 + s.len);
+  return s.sym;
+}
+
 static void tree_insert(Tree& t, uint32_t code, int len, int symbol) {
   if (t.next0.empty()) t.add_node();
   int cur = 0;
@@ -244,6 +312,15 @@ static void build_trees() {
   }
   for (size_t e = 0; e < sizeof(kCount1A) / sizeof(kCount1A[0]); e++)
     tree_insert(g_quadA, kCount1A[e].code, kCount1A[e].len, kCount1A[e].vwxy);
+  for (int i = 0; i < 32; i++)
+    if (kHuffTables[i].n) lut_build(g_lut[i], kHuffTables[i]);
+  memset(g_quadA_lut, 0, sizeof(g_quadA_lut));
+  for (size_t e = 0; e < sizeof(kCount1A) / sizeof(kCount1A[0]); e++) {
+    int len = kCount1A[e].len;
+    uint32_t base = (uint32_t)kCount1A[e].code << (6 - len);
+    for (uint32_t k = 0; k < (1u << (6 - len)); k++)
+      g_quadA_lut[base + k] = LutEntry{kCount1A[e].vwxy, (uint8_t)len};
+  }
   g_trees_ready = true;
 }
 
@@ -427,9 +504,8 @@ static int read_huffman(Bits& b, const GrInfo& g, const Header& h,
     int tsel = i < region1_start ? g.table_select[0]
                : (i < region2_start ? g.table_select[1] : g.table_select[2]);
     if (tsel == 0) continue;  // table 0: all zeros, no bits
-    const Tree& t = g_big[tsel];
-    if (t.sym.empty()) return -1;  // tables 4/14 are invalid
-    int symbol = tree_decode(t, b);
+    if (kHuffTables[tsel].n == 0) return -1;  // tables 4/14 are invalid
+    int symbol = lut_decode(g_lut[tsel], b);
     if (symbol < 0) return -1;
     int x = symbol >> 4, y = symbol & 15;
     int lb = kHuffTables[tsel].linbits;
@@ -447,8 +523,10 @@ static int read_huffman(Bits& b, const GrInfo& g, const Header& h,
     if (g.count1table) {
       quad = 15 - (int)b.get(4);
     } else {
-      quad = tree_decode(g_quadA, b);
-      if (quad < 0) break;
+      LutEntry e = g_quadA_lut[(b.peek24() >> 18) & 63];
+      if (e.len == 0) break;
+      b.consume(e.len);
+      quad = e.sym;
     }
     int vals[4] = {(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1};
     for (int k = 0; k < 4; k++)
@@ -482,10 +560,14 @@ static void requantize(const GrInfo& g, const Scalefactors& sf,
   bool short_blk = g.window_switching && g.block_type == 2;
   if (!short_blk) {
     int band = 0;
+    float mult = exp2f(gain - sfstep * (float)(sf.l[0] +
+                        (preflag ? kPretab[0] : 0)));
     for (int i = 0; i < lines; i++) {
-      while (band < 22 && i >= lsfb[band + 1]) band++;
-      float mult = exp2f(gain - sfstep * (float)(sf.l[band] +
-                          (preflag ? kPretab[band] : 0)));
+      if (band < 22 && i >= lsfb[band + 1]) {
+        while (band < 22 && i >= lsfb[band + 1]) band++;
+        mult = exp2f(gain - sfstep * (float)(sf.l[band] +
+                      (preflag ? kPretab[band] : 0)));
+      }
       xr[i] = val(i, mult);
     }
     return;
@@ -663,15 +745,21 @@ static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
   for (int sb = 1; sb < 32; sb += 2)
     for (int i = 1; i < 18; i += 2) ts[sb][i] = -ts[sb][i];
 
+  // transpose for contiguous access in the matrixing inner loop
+  float tst[18][32];
+  for (int sb = 0; sb < 32; sb++)
+    for (int i = 0; i < 18; i++) tst[i][sb] = ts[sb][i];
+
   // polyphase synthesis: 18 steps of 32 samples
   size_t base = out->size();
   out->resize(base + 576);
   float* o = out->data() + base;
   for (int t = 0; t < 18; t++) {
     memmove(st->v + 64, st->v, 960 * sizeof(float));
+    const float* s32 = tst[t];
     for (int i = 0; i < 64; i++) {
       float acc = 0.0f;
-      for (int k = 0; k < 32; k++) acc += D.nmat[i][k] * ts[k][t];
+      for (int k = 0; k < 32; k++) acc += D.nmat[i][k] * s32[k];
       st->v[i] = acc;
     }
     float u[512];
