@@ -59,8 +59,9 @@ struct Bits {
     return v;
   }
   // Peek up to 24 bits without consuming; zero-padded past the buffer
-  // end (callers bound consumption with part2_3 checks, and the main
-  // data buffer carries guard bytes).
+  // end via the per-byte bounds check below (do NOT drop it: the main
+  // data buffer has no guard bytes). Callers bound actual consumption
+  // with part2_3 checks.
   inline uint32_t peek24() const {
     size_t byte = pos >> 3;
     uint32_t w = 0;
@@ -210,22 +211,8 @@ static bool read_side_info(Bits& b, const Header& h, SideInfo* si) {
 }
 
 // ---------------------------------------------------------------------------
-// Huffman trees (built once from the extracted tables)
+// Huffman decode (two-level LUTs built once from the extracted tables)
 
-struct Tree {
-  // node i: children at next[i][0..1]; sym >= 0 means leaf (x<<4|y)
-  std::vector<int16_t> next0, next1;
-  std::vector<int16_t> sym;
-  int add_node() {
-    next0.push_back(-1);
-    next1.push_back(-1);
-    sym.push_back(-1);
-    return (int)next0.size() - 1;
-  }
-};
-
-static Tree g_big[32];
-static Tree g_quadA;
 static bool g_trees_ready = false;
 
 // Two-level lookup decode: 10-bit primary, 9-bit secondary (max code
@@ -281,37 +268,8 @@ static inline int lut_decode(const HuffLut& L, Bits& b) {
   return s.sym;
 }
 
-static void tree_insert(Tree& t, uint32_t code, int len, int symbol) {
-  if (t.next0.empty()) t.add_node();
-  int cur = 0;
-  for (int i = len - 1; i >= 0; i--) {
-    int bit = (code >> i) & 1;
-    int16_t* slot = bit ? &t.next1[cur] : &t.next0[cur];
-    if (*slot < 0) {
-      int n = t.add_node();
-      // vector growth may invalidate slot; re-derive
-      if (bit)
-        t.next1[cur] = (int16_t)n;
-      else
-        t.next0[cur] = (int16_t)n;
-      cur = n;
-    } else {
-      cur = *slot;
-    }
-  }
-  t.sym[cur] = (int16_t)symbol;
-}
-
 static void build_trees() {
   if (g_trees_ready) return;
-  for (int i = 0; i < 32; i++) {
-    const Mp3HuffTable& ht = kHuffTables[i];
-    for (int e = 0; e < ht.n; e++)
-      tree_insert(g_big[i], ht.e[e].code, ht.e[e].len,
-                  (ht.e[e].x << 4) | ht.e[e].y);
-  }
-  for (size_t e = 0; e < sizeof(kCount1A) / sizeof(kCount1A[0]); e++)
-    tree_insert(g_quadA, kCount1A[e].code, kCount1A[e].len, kCount1A[e].vwxy);
   for (int i = 0; i < 32; i++)
     if (kHuffTables[i].n) lut_build(g_lut[i], kHuffTables[i]);
   memset(g_quadA_lut, 0, sizeof(g_quadA_lut));
@@ -322,16 +280,6 @@ static void build_trees() {
       g_quadA_lut[base + k] = LutEntry{kCount1A[e].vwxy, (uint8_t)len};
   }
   g_trees_ready = true;
-}
-
-static int tree_decode(const Tree& t, Bits& b) {
-  int cur = 0;
-  while (t.sym[cur] < 0) {
-    int bit = b.get1();
-    cur = bit ? t.next1[cur] : t.next0[cur];
-    if (cur < 0 || b.err) return -1;
-  }
-  return t.sym[cur];
 }
 
 // ---------------------------------------------------------------------------
@@ -608,7 +556,7 @@ static void requantize(const GrInfo& g, const Scalefactors& sf,
 
 static void stereo_process(const Header& h, const GrInfo& gright,
                            const Scalefactors& sfr,
-                           int right_lines_ix, float xl[576], float xr[576]) {
+                           float xl[576], float xr[576]) {
   bool ms = (h.mode_ext & 2) != 0;
   bool is = (h.mode_ext & 1) != 0;
   const float invsq = 0.70710678118654752f;
@@ -654,7 +602,6 @@ static void stereo_process(const Header& h, const GrInfo& gright,
     int bound = 0;
     for (int i = 575; i >= 0; i--)
       if (xr[i] != 0.0f) { bound = i + 1; break; }
-    (void)right_lines_ix;
     for (int band = 0; band < 22; band++) {
       bool intensity = lsfb[band] >= bound;
       for (int i = lsfb[band]; i < lsfb[band + 1]; i++)
@@ -781,6 +728,7 @@ static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
 struct Decoder {
   Header h;
   bool have_format = false;
+  bool bail = false;   // stream needs the codec bridge (degenerate corner)
   std::vector<uint8_t> reservoir;
   ChannelState st[2];
   std::vector<float> pcm[2];
@@ -798,11 +746,26 @@ struct Decoder {
     const uint8_t* main = fr + off + side_bytes;
     size_t main_len = n - off - side_bytes;
 
+    // MPEG-2.5 8 kHz mixed blocks have contradictory geometry (the six
+    // long scalefactor bands span 72 lines but the hybrid long region is
+    // 36): measured decoders disagree with any consistent reading, and
+    // no encoder emits them — hand the whole file to the codec bridge.
+    if (hdr.lsf && hdr.version == 0 && hdr.rate == 8000) {
+      int granules = hdr.lsf ? 1 : 2;
+      for (int gr = 0; gr < granules; gr++)
+        for (int ch = 0; ch < hdr.channels; ch++)
+          if (si.gr[gr][ch].window_switching && si.gr[gr][ch].mixed) {
+            bail = true;
+            return false;
+          }
+    }
+
     bool ok = true;
     if ((size_t)si.main_data_begin > reservoir.size()) {
       ok = false;  // reservoir not filled yet (stream start / seek)
     }
 
+    size_t frame_base = pcm[0].size();
     if (ok) {
       std::vector<uint8_t> data(reservoir.end() - si.main_data_begin,
                                 reservoir.end());
@@ -813,7 +776,6 @@ struct Decoder {
       int granules = hdr.lsf ? 1 : 2;
       for (int gr = 0; gr < granules && ok; gr++) {
         float xr[2][576];
-        int lines[2] = {0, 0};
         for (int ch = 0; ch < hdr.channels && ok; ch++) {
           const GrInfo& g = si.gr[gr][ch];
           size_t start = b.pos;
@@ -827,27 +789,23 @@ struct Decoder {
           int32_t ix[576];
           int nl = read_huffman(b, g, hdr, end, ix);
           if (nl < 0 || b.err) { ok = false; break; }
-          lines[ch] = nl;
           requantize(g, sf[gr][ch], hdr, preflag, ix, nl, xr[ch]);
           b.pos = end;  // skip ancillary bits within part2_3
         }
         if (!ok) break;
         if (hdr.channels == 2 && hdr.mode == 1)
-          stereo_process(hdr, si.gr[gr][1], sf[gr][1],
-                         lines[1], xr[0], xr[1]);
+          stereo_process(hdr, si.gr[gr][1], sf[gr][1], xr[0], xr[1]);
         for (int ch = 0; ch < hdr.channels; ch++) {
           alias_reduce(si.gr[gr][ch], xr[ch]);
           hybrid_synth(si.gr[gr][ch], xr[ch], &st[ch], &pcm[ch]);
         }
       }
-      if (!ok) {
-        // emit silence to keep time alignment
-        for (int ch = 0; ch < hdr.channels; ch++)
-          pcm[ch].resize(pcm[ch].size() + hdr.samples, 0.0f);
-      }
-    } else {
+    }
+    if (!ok) {
+      // pad with silence to exactly one frame so time stays aligned
+      // even when a later granule failed after an earlier one decoded
       for (int ch = 0; ch < hdr.channels; ch++)
-        pcm[ch].resize(pcm[ch].size() + hdr.samples, 0.0f);
+        pcm[ch].resize(frame_base + hdr.samples, 0.0f);
     }
 
     reservoir.insert(reservoir.end(), main, main + main_len);
@@ -901,7 +859,10 @@ int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
   mp3::Decoder dec;
   int frames_done = 0;
   bool first_audio_frame = true;
+  bool require_double_sync = true;
+  size_t scan_start = pos;
 
+rescan:
   while (pos + 4 <= buf.size()) {
     uint32_t hword = ((uint32_t)buf[pos] << 24) | ((uint32_t)buf[pos + 1] << 16) |
                      ((uint32_t)buf[pos + 2] << 8) | buf[pos + 3];
@@ -921,7 +882,8 @@ int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
       continue;
     }
     if (pos + (size_t)h.frame_bytes > buf.size()) break;  // truncated tail
-    if (!dec.have_format && pos + (size_t)h.frame_bytes + 4 <= buf.size()) {
+    if (require_double_sync && !dec.have_format &&
+        pos + (size_t)h.frame_bytes + 4 <= buf.size()) {
       // double-sync: before locking on to a stream, the next frame slot
       // must also hold a same-family header (guards against random
       // bytes that happen to look like one header)
@@ -949,8 +911,19 @@ int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
       dec.have_format = true;
     }
     dec.decode_frame(fr, h.frame_bytes, h);
+    if (dec.bail) return -8;  // degenerate stream: codec-bridge territory
     frames_done++;
     pos += h.frame_bytes;
+  }
+
+  if (!dec.have_format && require_double_sync) {
+    // nothing locked: maybe a single audio frame followed by trailing
+    // tag bytes (ID3v1/APE) defeated the double-sync guard — rescan
+    // accepting single frames
+    require_double_sync = false;
+    pos = scan_start;
+    first_audio_frame = true;
+    goto rescan;
   }
 
   if (!dec.have_format || dec.pcm[0].empty()) return -5;
