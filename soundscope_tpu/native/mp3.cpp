@@ -1,18 +1,21 @@
-// First-party MPEG-1 Layer III (MP3) decoder — written from the format
-// specification with every arbitrary constant table (Huffman codes,
-// synthesis window, scalefactor bands, slen pairs) derived by black-box
-// probing of the system's decoders with crafted bitstreams
-// (tools/mp3_extract/*.py). No third-party decoder source was consulted.
+// First-party MPEG audio (Layer I / Layer III) decoder — written from
+// the format specification with every arbitrary constant table (Huffman
+// codes, synthesis window, scalefactor bands, slen pairs, requant
+// constants) derived by black-box probing of the system's decoders with
+// crafted bitstreams (tools/mp3_extract/*.py). No third-party decoder
+// source was consulted.
 //
-// The reference delegates MP3 to the symphonia crate
+// The reference delegates MPEG audio to the symphonia crate
 // (/root/reference/src/audio_player.rs:169-267, Cargo.toml:21); this is
 // the rebuild's own implementation, sitting in front of the libav codec
-// bridge (codecs.cpp), which remains the fallback for Layer I/II,
+// bridge (codecs.cpp), which remains the fallback for Layer II,
 // free-format, and LSF intensity-stereo streams.
 //
 // Scope: MPEG-1/2/2.5 Layer III at all nine sample rates, mono/stereo/
 // joint (MS and intensity)/dual, long/short/start/stop and mixed blocks,
-// bit reservoir, scfsi, CRC frames, ID3v2 skip, Xing/Info/VBRI skip.
+// bit reservoir, scfsi, CRC frames, ID3v2 skip, Xing/Info/VBRI skip;
+// MPEG-1 Layer I (384-sample frames, 4-bit allocations, joint-stereo
+// bound), sharing the polyphase synthesis filterbank.
 // Output: planar float32 via the DecodedWav ABI of decoder.cpp.
 //
 // Robustness: undecodable frames are skipped (the reference skips bad
@@ -81,7 +84,8 @@ struct Bits {
 
 struct Header {
   int version;      // 3 = MPEG-1, 2 = MPEG-2 (LSF), 0 = MPEG-2.5 (LSF)
-  bool lsf;         // one granule, 576 samples/frame
+  int layer;        // 1, 2 or 3 (Layer III is the primary path)
+  bool lsf;         // one granule, 576 samples/frame (Layer III only)
   int bitrate;      // bits/s
   int rate;         // Hz
   int rate_idx;     // header rate index within the version's rate family
@@ -96,6 +100,10 @@ struct Header {
 
 static const int kBitrateV1L3[16] = {0,   32,  40,  48,  56,  64,  80, 96,
                                      112, 128, 160, 192, 224, 256, 320, 0};
+static const int kBitrateV1L1[16] = {0,   32,  64,  96,  128, 160, 192, 224,
+                                     256, 288, 320, 352, 384, 416, 448, 0};
+static const int kBitrateV2L1[16] = {0,   32,  48,  56,  64,  80,  96, 112,
+                                     128, 144, 160, 176, 192, 224, 256, 0};
 static const int kBitrateV2L3[16] = {0,  8,  16, 24, 32,  40,  48, 56,
                                      64, 80, 96, 112, 128, 144, 160, 0};
 static const int kRateV1[4] = {44100, 48000, 32000, 0};
@@ -105,30 +113,36 @@ static const int kRateV25[4] = {11025, 12000, 8000, 0};
 static bool parse_header(uint32_t h, Header* out) {
   if ((h >> 21) != 0x7FF) return false;
   int version = (h >> 19) & 3;
-  int layer = (h >> 17) & 3;
-  if (layer != 1) return false;                  // Layer III only
+  int layerf = (h >> 17) & 3;
+  if (layerf == 0) return false;                 // reserved
   if (version == 1) return false;                // reserved
+  int layer = 4 - layerf;                        // 1, 2 or 3
+  if (layer == 2) return false;                  // Layer II: codec bridge
   int bidx = (h >> 12) & 15;
   int ridx = (h >> 10) & 3;
   if (bidx == 0 || bidx == 15 || ridx == 3) return false;  // free/bad
   out->version = version;
-  out->lsf = version != 3;
-  if (version == 3) {
-    out->bitrate = kBitrateV1L3[bidx] * 1000;
-    out->rate = kRateV1[ridx];
-  } else {
-    out->bitrate = kBitrateV2L3[bidx] * 1000;
-    out->rate = (version == 2 ? kRateV2 : kRateV25)[ridx];
-  }
+  out->layer = layer;
+  out->lsf = layer == 3 && version != 3;
+  out->rate = (version == 3 ? kRateV1 : version == 2 ? kRateV2 : kRateV25)[ridx];
+  if (layer == 3)
+    out->bitrate = (version == 3 ? kBitrateV1L3 : kBitrateV2L3)[bidx] * 1000;
+  else
+    out->bitrate = (version == 3 ? kBitrateV1L1 : kBitrateV2L1)[bidx] * 1000;
   out->rate_idx = ridx;
   out->crc = ((h >> 16) & 1) == 0;
   out->padding = (h >> 9) & 1;
   out->mode = (h >> 6) & 3;
   out->mode_ext = (h >> 4) & 3;
   out->channels = out->mode == 3 ? 1 : 2;
-  out->samples = out->lsf ? 576 : 1152;
-  out->frame_bytes = (out->lsf ? 72 : 144) * out->bitrate / out->rate +
-                     (out->padding ? 1 : 0);
+  if (layer == 1) {
+    out->samples = 384;
+    out->frame_bytes = (12 * out->bitrate / out->rate + (out->padding ? 1 : 0)) * 4;
+  } else {
+    out->samples = out->lsf ? 576 : 1152;
+    out->frame_bytes = (out->lsf ? 72 : 144) * out->bitrate / out->rate +
+                       (out->padding ? 1 : 0);
+  }
   return true;
 }
 
@@ -650,6 +664,27 @@ struct ChannelState {
   float v[1024] = {0};
 };
 
+// One polyphase synthesis step: 32 subband samples -> 32 PCM samples.
+static void synth_step(ChannelState* st, const float s32[32], float* out) {
+  const Dsp& D = dsp();
+  memmove(st->v + 64, st->v, 960 * sizeof(float));
+  for (int i = 0; i < 64; i++) {
+    float acc = 0.0f;
+    for (int k = 0; k < 32; k++) acc += D.nmat[i][k] * s32[k];
+    st->v[i] = acc;
+  }
+  float u[512];
+  for (int i = 0; i < 8; i++) {
+    memcpy(u + 64 * i, st->v + 128 * i, 32 * sizeof(float));
+    memcpy(u + 64 * i + 32, st->v + 128 * i + 96, 32 * sizeof(float));
+  }
+  for (int j = 0; j < 32; j++) {
+    float acc = 0.0f;
+    for (int i = 0; i < 16; i++) acc += u[j + 32 * i] * kSynthD[j + 32 * i];
+    out[j] = acc;
+  }
+}
+
 // One granule: xr[576] -> 576 PCM samples appended to out.
 static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
                          std::vector<float>* out) {
@@ -701,25 +736,8 @@ static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
   size_t base = out->size();
   out->resize(base + 576);
   float* o = out->data() + base;
-  for (int t = 0; t < 18; t++) {
-    memmove(st->v + 64, st->v, 960 * sizeof(float));
-    const float* s32 = tst[t];
-    for (int i = 0; i < 64; i++) {
-      float acc = 0.0f;
-      for (int k = 0; k < 32; k++) acc += D.nmat[i][k] * s32[k];
-      st->v[i] = acc;
-    }
-    float u[512];
-    for (int i = 0; i < 8; i++) {
-      memcpy(u + 64 * i, st->v + 128 * i, 32 * sizeof(float));
-      memcpy(u + 64 * i + 32, st->v + 128 * i + 96, 32 * sizeof(float));
-    }
-    for (int j = 0; j < 32; j++) {
-      float acc = 0.0f;
-      for (int i = 0; i < 16; i++) acc += u[j + 32 * i] * kSynthD[j + 32 * i];
-      o[t * 32 + j] = acc;
-    }
-  }
+  for (int t = 0; t < 18; t++)
+    synth_step(st, tst[t], o + t * 32);
 }
 
 // ---------------------------------------------------------------------------
@@ -733,8 +751,74 @@ struct Decoder {
   ChannelState st[2];
   std::vector<float> pcm[2];
 
+  // Layer I: 384 samples/frame, 4-bit allocations, 6-bit scalefactors,
+  // linear PCM codes; requant formula verified against mpg123
+  // (tools/mp3_extract probes): s = scf * 2^b/(2^b-1) * (c*2^(1-b) - 1
+  // + 2^(1-b)), scf(i) = 2 * 2^(-i/3). Shares the polyphase synthesis.
+  bool decode_layer1(const uint8_t* fr, size_t n, const Header& hdr) {
+    size_t off = 4 + (hdr.crc ? 2 : 0);
+    Bits b(fr + off, n - off);
+    int ch_n = hdr.channels;
+    int bound = hdr.mode == 1 ? (hdr.mode_ext + 1) * 4 : 32;
+    int alloc[2][32];
+    int scf[2][32];
+    for (int sbnd = 0; sbnd < 32; sbnd++) {
+      int nch = (sbnd < bound) ? ch_n : 1;
+      for (int c = 0; c < nch; c++) {
+        alloc[c][sbnd] = b.get(4);
+        if (alloc[c][sbnd] == 15) return false;  // forbidden
+      }
+      if (nch == 1 && ch_n == 2) alloc[1][sbnd] = alloc[0][sbnd];
+    }
+    for (int sbnd = 0; sbnd < 32; sbnd++)
+      for (int c = 0; c < ch_n; c++)
+        scf[c][sbnd] = alloc[c][sbnd] ? (int)b.get(6) : 0;
+    if (b.err) return false;
+
+    size_t base0 = pcm[0].size();
+    for (int step = 0; step < 12; step++) {
+      float s32[2][32];
+      for (int sbnd = 0; sbnd < 32; sbnd++) {
+        int nch = (sbnd < bound) ? ch_n : 1;
+        float v[2] = {0.0f, 0.0f};
+        for (int c = 0; c < nch; c++) {
+          int a = alloc[c][sbnd];
+          if (!a) continue;
+          int nb = a + 1;
+          uint32_t code = b.get(nb);
+          float frac = (float)code * exp2f((float)(1 - nb)) - 1.0f +
+                       exp2f((float)(1 - nb));
+          v[c] = ((float)(1 << nb) / (float)((1 << nb) - 1)) * frac;
+        }
+        if (nch == 1 && ch_n == 2) v[1] = v[0];
+        for (int c = 0; c < ch_n; c++)
+          s32[c][sbnd] = v[c] * 2.0f * exp2f(-(float)scf[c][sbnd] / 3.0f);
+      }
+      if (b.err) {
+        for (int c = 0; c < ch_n; c++) pcm[c].resize(base0, 0.0f);
+        return false;
+      }
+      for (int c = 0; c < ch_n; c++) {
+        size_t base = pcm[c].size();
+        pcm[c].resize(base + 32);
+        synth_step(&st[c], s32[c], pcm[c].data() + base);
+      }
+    }
+    return true;
+  }
+
   // returns false if the frame had to be skipped
   bool decode_frame(const uint8_t* fr, size_t n, const Header& hdr) {
+    if (hdr.layer == 1) {
+      if (!decode_layer1(fr, n, hdr)) {
+        for (int c = 0; c < hdr.channels; c++) {
+          size_t want = (pcm[c].size() / 384) * 384 + 384;
+          pcm[c].resize(want, 0.0f);
+        }
+        return false;
+      }
+      return true;
+    }
     size_t off = 4 + (hdr.crc ? 2 : 0);
     size_t side_bytes = hdr.lsf ? (hdr.channels == 1 ? 9u : 17u)
                                  : (hdr.channels == 1 ? 17u : 32u);
@@ -877,7 +961,8 @@ rescan:
       continue;
     }
     if (dec.have_format &&
-        (h.rate != dec.h.rate || h.channels != dec.h.channels)) {
+        (h.rate != dec.h.rate || h.channels != dec.h.channels ||
+         h.layer != dec.h.layer)) {
       pos++;  // mid-stream format change: treat as noise, resync
       continue;
     }
@@ -892,7 +977,7 @@ rescan:
                      ((uint32_t)buf[q + 2] << 8) | buf[q + 3];
       mp3::Header h2;
       if (!mp3::parse_header(h2w, &h2) || h2.rate != h.rate ||
-          h2.version != h.version) {
+          h2.version != h.version || h2.layer != h.layer) {
         pos++;
         continue;
       }
@@ -901,17 +986,33 @@ rescan:
     if (h.lsf && h.mode == 1 && (h.mode_ext & 1)) {
       return -7;  // LSF intensity stereo: codec-bridge territory
     }
-    if (first_audio_frame && mp3::is_tag_frame(fr, h.frame_bytes, h)) {
+    if (first_audio_frame && h.layer == 3 &&
+        mp3::is_tag_frame(fr, h.frame_bytes, h)) {
       pos += h.frame_bytes;
       continue;  // Xing/Info/VBRI metadata frame: no audio
     }
     first_audio_frame = false;
     if (!dec.have_format) {
+      if (!require_double_sync &&
+          pos + (size_t)h.frame_bytes + 160 < buf.size()) {
+        // fallback (single-frame) scan: the legitimate case is one lone
+        // frame followed by a small tag tail (ID3v1/APE); a candidate
+        // that ends far from EOF inside random bytes is noise
+        pos++;
+        continue;
+      }
       dec.h = h;
       dec.have_format = true;
     }
-    dec.decode_frame(fr, h.frame_bytes, h);
+    bool frame_ok = dec.decode_frame(fr, h.frame_bytes, h);
     if (dec.bail) return -8;  // degenerate stream: codec-bridge territory
+    if (!frame_ok && !require_double_sync && frames_done == 0) {
+      // fallback scan locked onto bytes that do not even decode: keep
+      // searching instead of reporting a silent pseudo-frame
+      dec = mp3::Decoder();
+      pos++;
+      continue;
+    }
     frames_done++;
     pos += h.frame_bytes;
   }

@@ -301,13 +301,13 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
             # exotic container framing: let the codec bridge / ffmpeg try
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
-    if ext == "mp3" and nat is not None:
+    if ext in ("mp3", "mp1", "mpa") and nat is not None:
         try:
             return nat.decode_mp3(path)
         except DecodeError:
-            # Layer I/II, free-format, or LSF intensity-stereo stream in a
-            # .mp3: the first-party decoder covers MPEG-1/2/2.5 Layer III;
-            # fall through to the codec bridge for the rest
+            # Layer II, free-format, or LSF intensity-stereo stream: the
+            # first-party decoder covers MPEG-1/2/2.5 Layer III and
+            # Layer I; fall through to the codec bridge for the rest
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
     if nat is not None and nat.codecs_available():

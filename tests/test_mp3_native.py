@@ -212,6 +212,124 @@ def test_lsf_rates_decode_natively(tmp_path, rate):
     assert mine.shape[1] % 576 == 0
 
 
+def _rig_path():
+    import sys
+
+    p = os.path.join(os.path.dirname(__file__), "..", "tools", "mp3_extract")
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def _mpg123():
+    """The strict ISO decoder oracle from the extraction rig."""
+    _rig_path()
+    import oracle_mpg123
+
+    try:
+        oracle_mpg123._load()
+    except OSError:
+        pytest.skip("libmpg123 not present")
+    return oracle_mpg123
+
+
+def _l1_random_frames(seed, channels, mode=None, mode_ext=0, nframes=6):
+    """Random in-range Layer I frames: scf >= 9 keeps |s| < 0.5 so the
+    int16-quantizing libav bridge can serve as a comparison decoder."""
+    _rig_path()
+    import frames_layer12 as F12
+
+    rng = np.random.default_rng(seed)
+    budget = (F12.l1_frame_bytes() - 4) * 8
+    frames = []
+    for _ in range(nframes):
+        for density in (0.7, 0.5, 0.3, 0.15):
+            alloc = [[int(rng.integers(0, 15)) if rng.random() < density
+                      else 0 for _ in range(32)] for _ in range(2)]
+            bound = 32 if channels == 1 or mode != 1 else (mode_ext + 1) * 4
+            bits = 0
+            for sb in range(32):
+                nch = channels if sb < bound else 1
+                bits += 4 * nch
+                for c in range(channels):
+                    a = alloc[c if sb < bound else 0][sb]
+                    if a:
+                        bits += 6
+                for c in range(nch):
+                    if alloc[c][sb]:
+                        bits += 12 * (alloc[c][sb] + 1)
+            if bits <= budget:
+                break
+        assert bits <= budget
+        scf = [[int(rng.integers(9, 63)) for _ in range(32)]
+               for _ in range(2)]
+        samples = [[[int(rng.integers(0, (1 << (alloc[c][sb] + 1)) - 1))
+                     if alloc[c][sb] else 0 for _ in range(12)]
+                    for sb in range(32)] for c in range(2)]
+        frames.append(F12.make_l1_frame(alloc, scf, samples, channels,
+                                        mode_ext, mode))
+    return frames
+
+
+@pytest.mark.parametrize("tag,channels,mode,mode_ext", [
+    ("mono", 1, None, 0),
+    ("stereo", 2, 0, 0),
+    ("dual", 2, 2, 0),
+    ("joint-b4", 2, 1, 0),
+    ("joint-b16", 2, 1, 3),
+])
+def test_layer1_matches_mpg123(tmp_path, tag, channels, mode, mode_ext):
+    """First-party Layer I vs the strict mpg123 oracle on random crafted
+    frames (no system Layer I encoder exists). ISO/IEC 11172-3 Layer I:
+    4-bit allocations, 6-bit scalefactors, linear (a+1)-bit codes."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    frames = _l1_random_frames(11, channels, mode, mode_ext)
+    p = str(tmp_path / f"{tag}.mp3")
+    with open(p, "wb") as f:
+        f.write(b"".join(frames))
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = oracle.decode_frames_mpg123(frames, rate=48000, channels=channels)
+    ref = np.atleast_2d(ref)
+    d = nat.decode_mp3(p)
+    assert d.rate == 48000 and d.channels == channels
+    assert mine.shape[1] == 384 * len(frames)
+    n = min(mine.shape[1], ref.shape[1])
+    assert n >= 384 * (len(frames) - 1)
+    err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+    assert err < 5e-5, (tag, err)
+
+
+def test_layer1_matches_bridge_in_range(tmp_path):
+    """Independent cross-check against libav (which quantizes Layer I
+    output to int16, so only in-range material and a coarse tolerance)."""
+    nat = _native_mp3()
+    _bridge()
+    frames = _l1_random_frames(23, 2, mode=1, mode_ext=2)
+    p = str(tmp_path / "l1.mp3")
+    with open(p, "wb") as f:
+        f.write(b"".join(frames))
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = np.asarray(nat.decode_any(p).samples)
+    n = min(mine.shape[1], ref.shape[1])
+    assert n > 0
+    err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+    assert err < 1e-3, err
+
+
+def test_layer1_dispatch_and_truncation(tmp_path):
+    """decode_file() routes .mp1/.mpa Layer I streams to the native
+    decoder; a frame cut mid-payload yields silence for that frame."""
+    nat = _native_mp3()
+    frames = _l1_random_frames(31, 1)
+    p = str(tmp_path / "x.mp1")
+    with open(p, "wb") as f:
+        f.write(b"".join(frames)[:-100])
+    d = decode_file(p)
+    assert d.rate == 48000
+    full = np.asarray(nat.decode_mp3(str(p)).samples)
+    assert full.shape[1] % 384 == 0
+
+
 def test_layer2_falls_back_to_bridge(tmp_path):
     """An .mp3 file holding a Layer II stream is outside the native
     decoder's scope; dispatch must fall back to the codec bridge."""
