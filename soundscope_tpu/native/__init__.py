@@ -77,7 +77,7 @@ def _load():
     lib.ss_codecs_available.restype = ctypes.c_int
     lib.ss_encode_audio.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64,
     ]
     lib.ss_encode_audio.restype = ctypes.c_int
     lib.ss_free_decoded.argtypes = [ctypes.POINTER(DecodedWav)]
@@ -149,9 +149,10 @@ class decoder:
 
     @staticmethod
     def decode_mp3(path: str):
-        """First-party MPEG-1 Layer III decoder (native/mp3.cpp); raises
-        DecodeError for LSF/Layer I/II streams so the caller can fall
-        back to the codec bridge."""
+        """First-party MPEG audio decoder (native/mp3.cpp): Layers
+        I/II/III at every MPEG-1/2/2.5 rate; raises DecodeError for
+        free-format and LSF intensity-stereo streams so the caller can
+        fall back to the codec bridge."""
         return _decode_with("ss_decode_mp3", path, "MP3")
 
     @staticmethod
@@ -160,10 +161,11 @@ class decoder:
         return _decode_with("ss_decode_any", path, "codec-bridge")
 
     @staticmethod
-    def encode(path: str, samples, rate: int, codec: str | None = None):
+    def encode(path: str, samples, rate: int, codec: str | None = None,
+               bitrate: int = 0):
         """Encode planar (C, N) float32 via the codec bridge; container
         from the extension (ogg/m4a/caf/mp3/...), codec optionally forced
-        (e.g. 'alac' inside .m4a)."""
+        (e.g. 'alac' inside .m4a), bitrate in bits/s (0 = default)."""
         from soundscope_tpu.utils.io import DecodeError
 
         lib = _load()
@@ -173,7 +175,7 @@ class decoder:
         ch, n = x.shape
         rc = lib.ss_encode_audio(
             path.encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            n, ch, rate, codec.encode() if codec else None,
+            n, ch, rate, codec.encode() if codec else None, bitrate,
         )
         if rc != 0:
             raise DecodeError(f"native encode failed (rc={rc})")

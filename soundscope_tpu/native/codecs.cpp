@@ -152,7 +152,8 @@ extern "C" int ss_decode_any(const char* path, DecodedWavLayout* out) {
 // path (the reference never encodes). Returns 0 on success.
 extern "C" int ss_encode_audio(const char* path, const float* planar,
                                int64_t frames, int32_t channels, int32_t rate,
-                               const char* codec_name /* nullable */) {
+                               const char* codec_name /* nullable */,
+                               int64_t bit_rate /* 0 = encoder default */) {
   AVFormatContext* fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
@@ -175,6 +176,7 @@ extern "C" int ss_encode_audio(const char* path, const float* planar,
     av_channel_layout_default(&enc->ch_layout, channels);
     enc->sample_rate = rate;
     enc->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0] : AV_SAMPLE_FMT_FLTP;
+    if (bit_rate > 0) enc->bit_rate = bit_rate;
     enc->time_base = AVRational{1, rate};
     enc->strict_std_compliance = FF_COMPLIANCE_EXPERIMENTAL;  // native vorbis
     if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
@@ -263,6 +265,6 @@ extern "C" int ss_encode_audio(const char* path, const float* planar,
 extern "C" int ss_codecs_available(void) { return 0; }
 extern "C" int ss_decode_any(const char*, DecodedWavLayout*) { return -100; }
 extern "C" int ss_encode_audio(const char*, const float*, int64_t, int32_t,
-                               int32_t, const char*) { return -100; }
+                               int32_t, const char*, int64_t) { return -100; }
 
 #endif

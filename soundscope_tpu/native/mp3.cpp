@@ -8,14 +8,16 @@
 // The reference delegates MPEG audio to the symphonia crate
 // (/root/reference/src/audio_player.rs:169-267, Cargo.toml:21); this is
 // the rebuild's own implementation, sitting in front of the libav codec
-// bridge (codecs.cpp), which remains the fallback for Layer II,
-// free-format, and LSF intensity-stereo streams.
+// bridge (codecs.cpp), which remains the fallback for free-format
+// and LSF intensity-stereo streams.
 //
 // Scope: MPEG-1/2/2.5 Layer III at all nine sample rates, mono/stereo/
 // joint (MS and intensity)/dual, long/short/start/stop and mixed blocks,
 // bit reservoir, scfsi, CRC frames, ID3v2 skip, Xing/Info/VBRI skip;
-// MPEG-1 Layer I (384-sample frames, 4-bit allocations, joint-stereo
-// bound), sharing the polyphase synthesis filterbank.
+// Layer I (384-sample frames, 4-bit allocations, joint-stereo bound)
+// and Layer II (measured allocation tables a/b/c/d/LSF, scfsi, grouped
+// classes) at every MPEG-1/2/2.5 rate, sharing the polyphase synthesis
+// filterbank.
 // Output: planar float32 via the DecodedWav ABI of decoder.cpp.
 //
 // Robustness: undecodable frames are skipped (the reference skips bad
@@ -104,6 +106,9 @@ static const int kBitrateV1L1[16] = {0,   32,  64,  96,  128, 160, 192, 224,
                                      256, 288, 320, 352, 384, 416, 448, 0};
 static const int kBitrateV2L1[16] = {0,   32,  48,  56,  64,  80,  96, 112,
                                      128, 144, 160, 176, 192, 224, 256, 0};
+static const int kBitrateV1L2[16] = {0,   32,  48,  56,  64,  80,  96, 112,
+                                     128, 160, 192, 224, 256, 320, 384, 0};
+// MPEG-2/2.5 Layers II and III share one bitrate table
 static const int kBitrateV2L3[16] = {0,  8,  16, 24, 32,  40,  48, 56,
                                      64, 80, 96, 112, 128, 144, 160, 0};
 static const int kRateV1[4] = {44100, 48000, 32000, 0};
@@ -117,7 +122,6 @@ static bool parse_header(uint32_t h, Header* out) {
   if (layerf == 0) return false;                 // reserved
   if (version == 1) return false;                // reserved
   int layer = 4 - layerf;                        // 1, 2 or 3
-  if (layer == 2) return false;                  // Layer II: codec bridge
   int bidx = (h >> 12) & 15;
   int ridx = (h >> 10) & 3;
   if (bidx == 0 || bidx == 15 || ridx == 3) return false;  // free/bad
@@ -127,6 +131,8 @@ static bool parse_header(uint32_t h, Header* out) {
   out->rate = (version == 3 ? kRateV1 : version == 2 ? kRateV2 : kRateV25)[ridx];
   if (layer == 3)
     out->bitrate = (version == 3 ? kBitrateV1L3 : kBitrateV2L3)[bidx] * 1000;
+  else if (layer == 2)
+    out->bitrate = (version == 3 ? kBitrateV1L2 : kBitrateV2L3)[bidx] * 1000;
   else
     out->bitrate = (version == 3 ? kBitrateV1L1 : kBitrateV2L1)[bidx] * 1000;
   out->rate_idx = ridx;
@@ -138,12 +144,27 @@ static bool parse_header(uint32_t h, Header* out) {
   if (layer == 1) {
     out->samples = 384;
     out->frame_bytes = (12 * out->bitrate / out->rate + (out->padding ? 1 : 0)) * 4;
+  } else if (layer == 2) {
+    out->samples = 1152;  // also for LSF: Layer II keeps 1152 samples/frame
+    out->frame_bytes = 144 * out->bitrate / out->rate + (out->padding ? 1 : 0);
   } else {
     out->samples = out->lsf ? 576 : 1152;
     out->frame_bytes = (out->lsf ? 72 : 144) * out->bitrate / out->rate +
                        (out->padding ? 1 : 0);
   }
   return true;
+}
+
+// Layer II allocation-table selection, measured by the extract_layer2
+// selection scan (layer2.json "selection"): the choice collapses to a
+// bitrate-per-channel rule; every LSF stream uses the single LSF table.
+static const Mp3L2Table* l2_select(const Header& h) {
+  if (h.version != 3) return &kL2Table_lsf;
+  int per = (h.bitrate / 1000) / h.channels;
+  if (h.rate == 48000) return per <= 48 ? &kL2Table_c : &kL2Table_a;
+  const Mp3L2Table* low = h.rate == 32000 ? &kL2Table_d : &kL2Table_c;
+  if (per <= 48) return low;
+  return per <= 80 ? &kL2Table_a : &kL2Table_b;
 }
 
 // scalefactor band tables for this stream
@@ -743,6 +764,18 @@ static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
 // ---------------------------------------------------------------------------
 // decoder driver
 
+// Layer I/II scalefactor multiplier: scf(i) = 2 * 2^(-i/3) (measured by
+// the tools/mp3_extract attenuation probes; double-precision table).
+static inline float l12_scf(int i) {
+  static float tab[64];
+  static bool init = false;
+  if (!init) {
+    for (int k = 0; k < 64; k++) tab[k] = (float)(2.0 * exp2(-k / 3.0));
+    init = true;
+  }
+  return tab[i & 63];
+}
+
 struct Decoder {
   Header h;
   bool have_format = false;
@@ -792,7 +825,7 @@ struct Decoder {
         }
         if (nch == 1 && ch_n == 2) v[1] = v[0];
         for (int c = 0; c < ch_n; c++)
-          s32[c][sbnd] = v[c] * 2.0f * exp2f(-(float)scf[c][sbnd] / 3.0f);
+          s32[c][sbnd] = v[c] * l12_scf(scf[c][sbnd]);
       }
       if (b.err) {
         for (int c = 0; c < ch_n; c++) pcm[c].resize(base0, 0.0f);
@@ -807,12 +840,96 @@ struct Decoder {
     return true;
   }
 
+  // Layer II: 1152 samples/frame in 12 granules of 3 subband steps.
+  // Allocation tables, scfsi thirds semantics, requant line
+  // s(c) = (2c - q + 1)/q and grouped classes {3,5,9} all verified
+  // per-(subband, alloc) against mpg123 (tools/mp3_extract/
+  // extract_layer2.py); shares the polyphase synthesis with Layers I/III.
+  bool decode_layer2(const uint8_t* fr, size_t n, const Header& hdr) {
+    const Mp3L2Table* T = l2_select(hdr);
+    size_t off = 4 + (hdr.crc ? 2 : 0);
+    Bits b(fr + off, n - off);
+    int ch_n = hdr.channels;
+    int sbl = T->sblimit;
+    int bound = hdr.mode == 1 ? (hdr.mode_ext + 1) * 4 : sbl;
+    if (bound > sbl) bound = sbl;
+
+    int alloc[2][32] = {{0}};
+    for (int sb = 0; sb < sbl; sb++) {
+      int nch = sb < bound ? ch_n : 1;
+      for (int c = 0; c < nch; c++) alloc[c][sb] = (int)b.get(T->nbal[sb]);
+      if (nch == 1 && ch_n == 2) alloc[1][sb] = alloc[0][sb];
+    }
+    int scfsi[2][32] = {{0}};
+    for (int sb = 0; sb < sbl; sb++)
+      for (int c = 0; c < ch_n; c++)
+        if (alloc[c][sb]) scfsi[c][sb] = (int)b.get(2);
+    float sf[2][32][3];
+    for (int sb = 0; sb < sbl; sb++)
+      for (int c = 0; c < ch_n; c++) {
+        if (!alloc[c][sb]) continue;
+        int idx[3] = {0, 0, 0};
+        for (int k = 0; k < kL2ScfsiCount[scfsi[c][sb]]; k++)
+          idx[k] = (int)b.get(6);
+        for (int t = 0; t < 3; t++)
+          sf[c][sb][t] = l12_scf(idx[kL2ScfsiThirds[scfsi[c][sb]][t]]);
+      }
+    if (b.err) return false;
+
+    size_t base0[2] = {pcm[0].size(), pcm[1].size()};
+    for (int gr = 0; gr < 12; gr++) {
+      float s[2][3][32] = {{{0}}};
+      for (int sb = 0; sb < sbl; sb++) {
+        int nch = sb < bound ? ch_n : 1;
+        for (int c = 0; c < nch; c++) {
+          int a = alloc[c][sb];
+          if (!a) continue;
+          int q = T->classes[sb][a - 1];
+          float v[3];
+          if (q == 3 || q == 5 || q == 9) {
+            // grouped: one base-q code covers the 3 steps, c0 first
+            uint32_t g = b.get(q == 3 ? 5 : q == 5 ? 7 : 10);
+            for (int k = 0; k < 3; k++) {
+              v[k] = (float)(2 * (int)(g % q) - q + 1) / (float)q;
+              g /= q;
+            }
+          } else {
+            int nb = 1;
+            while ((1 << nb) < q + 1) nb++;  // q = 2^nb - 1
+
+            for (int k = 0; k < 3; k++)
+              v[k] = (float)(2 * (int)b.get(nb) - q + 1) / (float)q;
+          }
+          int third = gr / 4;
+          for (int k = 0; k < 3; k++) s[c][k][sb] = v[k] * sf[c][sb][third];
+          if (nch == 1 && ch_n == 2)
+            for (int k = 0; k < 3; k++)
+              s[1][k][sb] = v[k] * sf[1][sb][third];
+        }
+      }
+      if (b.err) {
+        for (int c = 0; c < ch_n; c++) pcm[c].resize(base0[c], 0.0f);
+        return false;
+      }
+      for (int c = 0; c < ch_n; c++) {
+        size_t base = pcm[c].size();
+        pcm[c].resize(base + 96);
+        for (int k = 0; k < 3; k++)
+          synth_step(&st[c], s[c][k], pcm[c].data() + base + 32 * k);
+      }
+    }
+    return true;
+  }
+
   // returns false if the frame had to be skipped
   bool decode_frame(const uint8_t* fr, size_t n, const Header& hdr) {
-    if (hdr.layer == 1) {
-      if (!decode_layer1(fr, n, hdr)) {
+    if (hdr.layer != 3) {
+      bool ok = hdr.layer == 1 ? decode_layer1(fr, n, hdr)
+                               : decode_layer2(fr, n, hdr);
+      if (!ok) {
         for (int c = 0; c < hdr.channels; c++) {
-          size_t want = (pcm[c].size() / 384) * 384 + 384;
+          size_t want =
+              (pcm[c].size() / hdr.samples) * hdr.samples + hdr.samples;
           pcm[c].resize(want, 0.0f);
         }
         return false;
@@ -914,7 +1031,7 @@ static bool is_tag_frame(const uint8_t* fr, size_t n, const Header& h) {
 
 extern "C" {
 
-// Decode an MPEG-1 Layer III file to planar float32. Returns 0 on
+// Decode an MPEG audio (Layer I/II/III) file to planar float32. Returns 0 on
 // success; negative on failure (caller falls back to the codec bridge).
 int ss_decode_mp3(const char* path, DecodedWavLayout* out) {
   FILE* f = fopen(path, "rb");
@@ -953,7 +1070,7 @@ rescan:
     mp3::Header h;
     if (!mp3::parse_header(hword, &h)) {
       if ((hword >> 21) == 0x7FF && frames_done == 0) {
-        // valid sync but not Layer III (Layer I/II / free format):
+        // valid sync but unparseable (free format / reserved fields):
         // not ours — let the codec bridge handle the file
         return -4;
       }

@@ -301,13 +301,13 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
             # exotic container framing: let the codec bridge / ffmpeg try
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
-    if ext in ("mp3", "mp1", "mpa") and nat is not None:
+    if ext in ("mp3", "mp2", "mp1", "mpa") and nat is not None:
         try:
             return nat.decode_mp3(path)
         except DecodeError:
-            # Layer II, free-format, or LSF intensity-stereo stream: the
-            # first-party decoder covers MPEG-1/2/2.5 Layer III and
-            # Layer I; fall through to the codec bridge for the rest
+            # free-format or LSF intensity-stereo stream: the first-party
+            # decoder covers MPEG-1/2/2.5 Layers I-III; fall through to
+            # the codec bridge for the rest
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
     if nat is not None and nat.codecs_available():

@@ -330,19 +330,165 @@ def test_layer1_dispatch_and_truncation(tmp_path):
     assert full.shape[1] % 384 == 0
 
 
-def test_layer2_falls_back_to_bridge(tmp_path):
-    """An .mp3 file holding a Layer II stream is outside the native
-    decoder's scope; dispatch must fall back to the codec bridge."""
+@pytest.mark.parametrize("rate", [44100, 48000, 32000, 24000, 22050, 16000])
+def test_layer2_matches_bridge(tmp_path, rate):
+    """First-party Layer II vs libav on real libav-encoded mp2 streams
+    (the bridge's mp2 decode quantizes to int16, hence the tolerance).
+    Rates under 32 kHz exercise the MPEG-2 (LSF) allocation table."""
     nat = _native_mp3()
     bridge = _bridge()
-    p2 = str(tmp_path / "l2.mp2")
-    bridge.encode(p2, _material("sine", 44100), 44100, codec="mp2")
-    p = str(tmp_path / "l2.mp3")
-    os.rename(p2, p)  # Layer II stream wearing an .mp3 extension
-    with pytest.raises(DecodeError):
-        nat.decode_mp3(p)
+    for kbps, ch in ((192, 2), (64, 1), (384, 2), (32, 1)):
+        if rate < 32000 and kbps > 160:
+            continue
+        p = str(tmp_path / f"{kbps}_{ch}.mp2")
+        bridge.encode(p, _material("noise", rate)[:ch], rate, codec="mp2",
+                      bitrate=kbps * 1000)
+        mine = np.asarray(nat.decode_mp3(p).samples)
+        ref = np.asarray(nat.decode_any(p).samples)
+        n = min(mine.shape[1], ref.shape[1])
+        assert n > 0 and mine.shape[0] == ch
+        err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+        assert err < 2e-4, (rate, kbps, ch, err)
+        d = nat.decode_mp3(p)
+        assert d.rate == rate and d.samples.shape[1] % 1152 == 0
+
+
+def test_layer2_dispatch_is_native(tmp_path, monkeypatch):
+    """decode_file() routes .mp2 (and Layer II inside .mp3) through the
+    first-party decoder, no bridge involved."""
+    nat = _native_mp3()
+    bridge = _bridge()
+    p = str(tmp_path / "l2.mp2")
+    bridge.encode(p, _material("sine", 44100), 44100, codec="mp2")
+    called = {}
+    orig = nat.decode_mp3
+
+    def spy(path):
+        called["native"] = True
+        return orig(path)
+
+    monkeypatch.setattr(nat, "decode_mp3", spy)
     d = decode_file(p)
+    assert called.get("native") and d.rate == 44100 and d.duration > 1.5
+    p3 = str(tmp_path / "l2.mp3")
+    os.rename(p, p3)  # Layer II stream wearing an .mp3 extension
+    d = nat.decode_mp3(p3)
     assert d.rate == 44100 and d.duration > 1.5
+
+
+def _l2_random_frames(seed, rate, kbps, channels, mode=None, mode_ext=0,
+                      scfsi_pool=(0, 1, 2, 3), nframes=5):
+    """Random budget-aware Layer II frames over the verified table for
+    (rate, kbps, channels); exercises every scfsi variant, grouped and
+    linear classes, and the joint-stereo bound."""
+    _rig_path()
+    import frames_layer12 as F12
+
+    if mode is None:
+        mode = 3 if channels == 1 else 1
+    per = kbps // channels
+    if rate < 32000:
+        tab = F12.table_lsf()
+    elif rate == 48000:
+        tab = F12.table_c() if per <= 48 else F12.table_a()
+    elif per <= 48:
+        tab = F12.table_d() if rate == 32000 else F12.table_c()
+    elif per <= 80:
+        tab = F12.table_a()
+    else:
+        tab = F12.table_b()
+    sblimit, nbal, classes = tab
+    bound = sblimit if channels == 1 or mode != 1 else min(
+        (mode_ext + 1) * 4, sblimit)
+    nscf = {0: 3, 1: 2, 2: 1, 3: 2}
+    budget = (F12.l2_frame_bytes(rate, kbps) - 4) * 8
+    rng = np.random.default_rng(seed)
+    frames = []
+    for _ in range(nframes):
+        for density in (0.6, 0.4, 0.25, 0.12, 0.05):
+            alloc = [[0] * sblimit for _ in range(2)]
+            for sb in range(sblimit):
+                nch = channels if sb < bound else 1
+                for c in range(nch):
+                    if rng.random() < density:
+                        alloc[c][sb] = int(rng.integers(
+                            1, len(classes[sb]) + 1))
+                if nch == 1 and channels == 2:
+                    alloc[1][sb] = alloc[0][sb]
+            scfsi = [[int(rng.choice(scfsi_pool)) for _ in range(sblimit)]
+                     for _ in range(2)]
+            bits = 0
+            for sb in range(sblimit):
+                nch = channels if sb < bound else 1
+                bits += nbal[sb] * nch
+                for c in range(channels):
+                    if alloc[c][sb]:
+                        bits += 2 + 6 * nscf[scfsi[c][sb]]
+                for c in range(nch):
+                    a = alloc[c][sb]
+                    if a:
+                        q = classes[sb][a - 1]
+                        w = F12.sample_bits(q)
+                        bits += 12 * (w if q in F12.GROUPED else 3 * w)
+            if bits <= budget:
+                break
+        assert bits <= budget, (rate, kbps, bits, budget)
+        scf = [[None] * sblimit for _ in range(2)]
+        samples = [[[None] * 12 for _ in range(sblimit)] for _ in range(2)]
+        for sb in range(sblimit):
+            for c in range(2):
+                if alloc[c][sb]:
+                    scf[c][sb] = [int(rng.integers(6, 63))
+                                  for _ in range(nscf[scfsi[c][sb]])]
+            nch = channels if sb < bound else 1
+            for c in range(nch):
+                a = alloc[c][sb]
+                if not a:
+                    continue
+                q = classes[sb][a - 1]
+                for g in range(12):
+                    if q in F12.GROUPED:
+                        samples[c][sb][g] = int(rng.integers(0, q ** 3))
+                    else:
+                        samples[c][sb][g] = tuple(
+                            int(rng.integers(0, q)) for _ in range(3))
+        frames.append(F12.make_l2_frame(tab, alloc, scfsi, scf, samples,
+                                        rate, kbps, channels, mode_ext,
+                                        mode))
+    return frames
+
+
+@pytest.mark.parametrize("tag,rate,kbps,channels,mode,mode_ext", [
+    ("a-mono", 48000, 192, 1, None, 0),
+    ("b-stereo", 44100, 384, 2, 0, 0),
+    ("c-mono", 48000, 32, 1, None, 0),
+    ("d-mono", 32000, 48, 1, None, 0),
+    ("joint-b8", 44100, 224, 2, 1, 1),
+    ("joint-b16", 48000, 256, 2, 1, 3),
+    ("lsf-mono", 24000, 64, 1, None, 0),
+    ("lsf-2.5", 12000, 64, 1, None, 0),
+    ("lsf-stereo", 22050, 160, 2, 0, 0),
+])
+def test_layer2_crafted_matches_mpg123(tmp_path, tag, rate, kbps, channels,
+                                       mode, mode_ext):
+    """Random crafted frames vs the strict mpg123 float oracle: every
+    allocation table, scfsi variant, grouped class, and the joint bound
+    (libav encodes never produce most of these shapes)."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    frames = _l2_random_frames(hash(tag) % 2**31, rate, kbps, channels,
+                               mode, mode_ext)
+    p = str(tmp_path / f"{tag}.mp2")
+    with open(p, "wb") as f:
+        f.write(b"".join(frames))
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = np.atleast_2d(oracle.decode_frames_mpg123(
+        frames, rate=rate, channels=channels))
+    assert mine.shape[1] == 1152 * len(frames)
+    n = min(mine.shape[1], ref.shape[1])
+    assert n >= 1152 * (len(frames) - 1)
+    err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+    assert err < 1e-4, (tag, err)
 
 
 def test_garbage_raises(tmp_path):
