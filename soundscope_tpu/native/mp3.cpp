@@ -96,8 +96,9 @@ struct Header {
   int mode;         // 0 stereo, 1 joint, 2 dual, 3 mono
   int mode_ext;
   int channels;
-  int frame_bytes;
+  int frame_bytes;  // 0 until discovered for free-format streams
   int samples;      // 1152 (MPEG-1) or 576 (LSF)
+  bool free;        // free-format: bitrate index 0, size found by sync scan
 };
 
 static const int kBitrateV1L3[16] = {0,   32,  40,  48,  56,  64,  80, 96,
@@ -124,7 +125,8 @@ static bool parse_header(uint32_t h, Header* out) {
   int layer = 4 - layerf;                        // 1, 2 or 3
   int bidx = (h >> 12) & 15;
   int ridx = (h >> 10) & 3;
-  if (bidx == 0 || bidx == 15 || ridx == 3) return false;  // free/bad
+  if (bidx == 15 || ridx == 3) return false;  // bad
+  out->free = bidx == 0;
   out->version = version;
   out->layer = layer;
   out->lsf = layer == 3 && version != 3;
@@ -152,7 +154,16 @@ static bool parse_header(uint32_t h, Header* out) {
     out->frame_bytes = (out->lsf ? 72 : 144) * out->bitrate / out->rate +
                        (out->padding ? 1 : 0);
   }
+  if (out->free) out->frame_bytes = 0;  // discovered at stream lock
   return true;
+}
+
+// bytes-per-frame = kFrameCoef * bitrate / rate (x4 slots for Layer I);
+// inverted to recover an effective bitrate for free-format streams
+static int frame_coef(const Header& h) {
+  if (h.layer == 1) return 48;          // (12 * br/rate) * 4
+  if (h.layer == 2) return 144;
+  return h.lsf ? 72 : 144;
 }
 
 // Layer II allocation-table selection, measured by the extract_layer2
@@ -779,6 +790,7 @@ static inline float l12_scf(int i) {
 struct Decoder {
   Header h;
   bool have_format = false;
+  int free_base = 0;   // free-format frame bytes without padding
   bool bail = false;   // stream needs the codec bridge (degenerate corner)
   std::vector<uint8_t> reservoir;
   ChannelState st[2];
@@ -1079,9 +1091,38 @@ rescan:
     }
     if (dec.have_format &&
         (h.rate != dec.h.rate || h.channels != dec.h.channels ||
-         h.layer != dec.h.layer)) {
+         h.layer != dec.h.layer || h.free != dec.h.free)) {
       pos++;  // mid-stream format change: treat as noise, resync
       continue;
+    }
+    if (h.free) {
+      // free-format: the frame size is fixed per stream and found by
+      // scanning for the nearest same-family sync (mpg123 semantics)
+      int slot = h.layer == 1 ? 4 : 1;
+      if (dec.free_base == 0) {
+        size_t limit = buf.size() >= 4 ? buf.size() - 4 : 0;
+        if (limit > pos + 5760) limit = pos + 5760;
+        size_t found = 0;
+        for (size_t q = pos + 16; q <= limit; q++) {
+          uint32_t w2 = ((uint32_t)buf[q] << 24) |
+                        ((uint32_t)buf[q + 1] << 16) |
+                        ((uint32_t)buf[q + 2] << 8) | buf[q + 3];
+          mp3::Header h2;
+          if (mp3::parse_header(w2, &h2) && h2.free && h2.rate == h.rate &&
+              h2.version == h.version && h2.layer == h.layer &&
+              h2.mode == h.mode) {
+            found = q;
+            break;
+          }
+        }
+        if (!found) { pos++; continue; }  // no second sync: noise
+        int base = (int)(found - pos) - (h.padding ? slot : 0);
+        if (base < 16) { pos++; continue; }
+        dec.free_base = base;
+      }
+      h.frame_bytes = dec.free_base + (h.padding ? slot : 0);
+      // effective bitrate (Layer II needs it for table selection)
+      h.bitrate = (int)((int64_t)dec.free_base * h.rate / frame_coef(h));
     }
     if (pos + (size_t)h.frame_bytes > buf.size()) break;  // truncated tail
     if (require_double_sync && !dec.have_format &&

@@ -491,6 +491,72 @@ def test_layer2_crafted_matches_mpg123(tmp_path, tag, rate, kbps, channels,
     assert err < 1e-4, (tag, err)
 
 
+def _strip_bitrate_index(raw: bytes, rate: int, layer: int,
+                         kbps: int) -> bytes:
+    """Rewrite a CBR stream's bitrate index to 0 (free format), walking
+    frame to frame so payload bytes that look like syncs survive."""
+    out = bytearray(raw)
+    coef = {1: 48, 2: 144, 3: 144}[layer]
+    i, n = 0, 0
+    while i + 4 <= len(out):
+        if out[i] == 0xFF and (out[i + 1] & 0xE0) == 0xE0:
+            pad = (out[i + 2] >> 1) & 1
+            size = coef * kbps * 1000 // rate + pad * (4 if layer == 1 else 1)
+            out[i + 2] &= 0x0F
+            i += size
+            n += 1
+            continue
+        i += 1
+    assert n > 3
+    return bytes(out)
+
+
+def test_free_format_layer3(tmp_path):
+    """Free-format (bitrate index 0): the frame size is discovered from
+    the sync spacing, mpg123 semantics."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    p = str(tmp_path / "free.mp3")
+    write_mp3(p, _material("noise", 44100), 44100, kbps=128)
+    raw = _strip_bitrate_index(open(p, "rb").read(), 44100, 3, 128)
+    open(p, "wb").write(raw)
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = np.atleast_2d(oracle.decode_frames_mpg123([raw], rate=44100,
+                                                    channels=2))
+    n = min(mine.shape[1], ref.shape[1])
+    assert n > 44100
+    assert float(np.max(np.abs(mine[:, :n] - ref[:, :n]))) < 1e-4
+
+
+def test_free_format_layer2_and_layer1(tmp_path):
+    nat = _native_mp3()
+    oracle = _mpg123()
+    bridge = _bridge()
+    # Layer II from a real encode
+    p = str(tmp_path / "free.mp2")
+    bridge.encode(p, _material("noise", 48000)[:1], 48000, codec="mp2",
+                  bitrate=96000)
+    raw = _strip_bitrate_index(open(p, "rb").read(), 48000, 2, 96)
+    open(p, "wb").write(raw)
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = np.atleast_2d(oracle.decode_frames_mpg123([raw], rate=48000,
+                                                    channels=1))
+    n = min(mine.shape[1], ref.shape[1])
+    assert n > 0
+    assert float(np.max(np.abs(mine[:, :n] - ref[:, :n]))) < 1e-4
+    # Layer I from crafted frames (448 kbps -> free)
+    frames = _l1_random_frames(47, 1)
+    raw = _strip_bitrate_index(b"".join(frames), 48000, 1, 448)
+    p1 = str(tmp_path / "free.mp1")
+    open(p1, "wb").write(raw)
+    mine = np.asarray(nat.decode_mp3(p1).samples)
+    ref = np.atleast_2d(oracle.decode_frames_mpg123([raw], rate=48000,
+                                                    channels=1))
+    n = min(mine.shape[1], ref.shape[1])
+    assert n > 0
+    assert float(np.max(np.abs(mine[:, :n] - ref[:, :n]))) < 5e-5
+
+
 def test_garbage_raises(tmp_path):
     nat = _native_mp3()
     p = str(tmp_path / "junk.mp3")
