@@ -8,12 +8,13 @@
 // The reference delegates MPEG audio to the symphonia crate
 // (/root/reference/src/audio_player.rs:169-267, Cargo.toml:21); this is
 // the rebuild's own implementation, sitting in front of the libav codec
-// bridge (codecs.cpp), which remains the fallback for free-format
-// and LSF intensity-stereo streams.
+// bridge (codecs.cpp), which remains the fallback only for one
+// degenerate corner (MPEG-2.5 8 kHz mixed blocks, below).
 //
 // Scope: MPEG-1/2/2.5 Layer III at all nine sample rates, mono/stereo/
-// joint (MS and intensity)/dual, long/short/start/stop and mixed blocks,
-// bit reservoir, scfsi, CRC frames, ID3v2 skip, Xing/Info/VBRI skip;
+// joint (MS and intensity, including the LSF intensity variant)/dual,
+// long/short/start/stop and mixed blocks, bit reservoir, scfsi, CRC
+// frames, free format, ID3v2 skip, Xing/Info/VBRI skip;
 // Layer I (384-sample frames, 4-bit allocations, joint-stereo bound)
 // and Layer II (measured allocation tables a/b/c/d/LSF, scfsi, grouped
 // classes) at every MPEG-1/2/2.5 rate, sharing the polyphase synthesis
@@ -384,6 +385,34 @@ struct Scalefactors {
   int s[13][3] = {{0}}; // short bands 0..12 x window
 };
 
+// Shared LSF fill: read nr[grp] values of slen[grp] bits per group and
+// distribute them over long / short / mixed band slots.
+static void read_lsf_values(Bits& b, const GrInfo& g, const int slen[4],
+                            const uint8_t nr[4], Scalefactors* sf) {
+  int vals[54];
+  int n = 0;
+  for (int grp = 0; grp < 4; grp++)
+    for (int i = 0; i < nr[grp]; i++) vals[n++] = (int)b.get(slen[grp]);
+  int k = 0;
+  bool short_blk = g.window_switching && g.block_type == 2;
+  if (!short_blk) {
+    for (int band = 0; band < n && band < 22; band++) sf->l[band] = vals[band];
+    for (int band = n; band < 23; band++) sf->l[band] = 0;
+  } else {
+    if (g.mixed) {
+      for (int band = 0; band < 6 && k < n; band++) sf->l[band] = vals[k++];
+      for (int band = 3; band < 12; band++)
+        for (int w = 0; w < 3; w++)
+          sf->s[band][w] = k < n ? vals[k++] : 0;
+    } else {
+      for (int band = 0; band < 12; band++)
+        for (int w = 0; w < 3; w++)
+          sf->s[band][w] = k < n ? vals[k++] : 0;
+    }
+    sf->s[12][0] = sf->s[12][1] = sf->s[12][2] = 0;
+  }
+}
+
 // LSF scalefactors: slen groups + group sizes measured by oracle
 // probing (tools/mp3_extract/extract_lsf.py). `preflag_out` reports the
 // implicit preflag (scalefac_compress >= 500).
@@ -411,26 +440,35 @@ static void read_scalefactors_lsf(Bits& b, const GrInfo& g,
   }
   bool short_blk = g.window_switching && g.block_type == 2;
   int kind = short_blk ? (g.mixed ? 2 : 1) : 0;
-  const uint8_t* nr = kLsfNr[row][kind];
-  int vals[54];
-  int n = 0;
-  for (int grp = 0; grp < 4; grp++)
-    for (int i = 0; i < nr[grp]; i++) vals[n++] = (int)b.get(slen[grp]);
-  int k = 0;
-  if (!short_blk) {
-    for (int band = 0; band < n && band < 22; band++) sf->l[band] = vals[band];
-    sf->l[21] = sf->l[22] = 0;
+  read_lsf_values(b, g, slen, kLsfNr[row][kind], sf);
+}
+
+// Scalefactors of the intensity channel (right channel of an LSF
+// joint-intensity stream): its own three-region layout on
+// int_sc = scalefac_compress >> 1 (the LSB selects the intensity base
+// io), measured per-sc by the part2_3 threshold scan and single-bit
+// band maps in tools/mp3_extract/extract_lsf_is.py. The parsed values
+// double as the is_pos positions in stereo_process.
+static void read_scalefactors_lsf_is(Bits& b, const GrInfo& g,
+                                     Scalefactors* sf, int* preflag_out) {
+  int isc = g.scalefac_compress >> 1;
+  int slen[4] = {0, 0, 0, 0}, row;
+  if (isc < 180) {
+    slen[0] = isc / 36; slen[1] = (isc % 36) / 6; slen[2] = isc % 6;
+    row = 0;
+  } else if (isc < 244) {
+    int j = isc - 180;
+    slen[0] = (j >> 4) & 3; slen[1] = (j >> 2) & 3; slen[2] = j & 3;
+    row = 1;
   } else {
-    if (g.mixed) {
-      for (int band = 0; band < 6; band++) sf->l[band] = vals[k++];
-      for (int band = 3; band < 12; band++)
-        for (int w = 0; w < 3; w++) sf->s[band][w] = vals[k++];
-    } else {
-      for (int band = 0; band < 12; band++)
-        for (int w = 0; w < 3; w++) sf->s[band][w] = vals[k++];
-    }
-    sf->s[12][0] = sf->s[12][1] = sf->s[12][2] = 0;
+    int j = isc - 244;
+    slen[0] = j / 3; slen[1] = j % 3;
+    row = 2;
   }
+  *preflag_out = 0;
+  bool short_blk = g.window_switching && g.block_type == 2;
+  int kind = short_blk ? (g.mixed ? 2 : 1) : 0;
+  read_lsf_values(b, g, slen, kLsfNrIs[row][kind], sf);
 }
 
 // Read scalefactors; returns bits consumed. `prev` holds granule-0
@@ -581,20 +619,50 @@ static void requantize(const GrInfo& g, const Scalefactors& sf,
     ix_pos = 36;
     start_band = 3;
   }
+  // short/mixed spectra leave here in transmission order (window-major
+  // per band); reorder_short_li() then interleaves them line-by-line
+  // for stereo processing, li_to_hybrid() for the filterbank.
   for (int band = start_band; band < 13 && ix_pos < 576; band++) {
-    int lo = ssfb[band], hi = ssfb[band + 1];
-    int width = hi - lo;
+    int width = ssfb[band + 1] - ssfb[band];
     for (int w = 0; w < 3; w++) {
       float mult = exp2f(gain - 2.0f * (float)g.subblock_gain[w] -
                          sfstep * (float)sf.s[band][w]);
       for (int l = 0; l < width && ix_pos < 576; l++, ix_pos++) {
         if (ix_pos >= lines) continue;
-        int L = lo + l;                       // line within this window
-        int sb = L / 6, slot = L % 6;
-        xr[sb * 18 + w * 6 + slot] = val(ix_pos, mult);
+        xr[ix_pos] = val(ix_pos, mult);
       }
     }
   }
+}
+
+// Short/mixed spectra pass through three layouts:
+//   transmission order (Huffman/requant)  ->  line-interleaved 3L+w
+//   (stereo processing; measured on mpg123 via the LSF intensity
+//   single-bit probes, which hit left-channel lines 3L+w)  ->  the
+//   6-chunk hybrid layout consumed by the filterbank.
+static void reorder_short_li(const GrInfo& g, const Header& h,
+                             float xr[576]) {
+  if (!(g.window_switching && g.block_type == 2)) return;
+  const uint16_t* ssfb = sfb_short(h);
+  float tmp[576];
+  memcpy(tmp, xr, sizeof(tmp));
+  int pos = g.mixed ? 36 : 0;
+  for (int band = g.mixed ? 3 : 0; band < 13 && pos < 576; band++) {
+    int lo = ssfb[band];
+    int width = ssfb[band + 1] - lo;
+    for (int w = 0; w < 3; w++)
+      for (int l = 0; l < width && pos < 576; l++, pos++)
+        xr[3 * (lo + l) + w] = tmp[pos];
+  }
+}
+
+static void li_to_hybrid(const GrInfo& g, float xr[576]) {
+  if (!(g.window_switching && g.block_type == 2)) return;
+  float tmp[576];
+  memcpy(tmp, xr, sizeof(tmp));
+  for (int L = g.mixed ? 12 : 0; L < 192; L++)
+    for (int w = 0; w < 3; w++)
+      xr[(L / 6) * 18 + w * 6 + L % 6] = tmp[3 * L + w];
 }
 
 // ---------------------------------------------------------------------------
@@ -625,7 +693,25 @@ static void stereo_process(const Header& h, const GrInfo& gright,
   const uint16_t* lsfb = sfb_long(h);
   const uint16_t* ssfb = sfb_short(h);
 
+  // LSF intensity base: io = 2^-1/4 or 2^-1/2 by the scalefac_compress
+  // LSB; k = io^ceil(is_pos/2) on the left (odd) or right (even)
+  // channel, sentinel is_pos == 7 means no intensity — all measured in
+  // tools/mp3_extract/extract_lsf_is.py.
+  float io_pow[20];
+  if (h.lsf) {
+    double io = (gright.scalefac_compress & 1) ? 0.7071067811865476
+                                               : 0.8408964152537145;
+    double p = 1.0;
+    for (int k = 0; k < 20; k++) { io_pow[k] = (float)p; p *= io; }
+  }
+
   auto apply_pair = [&](int i, bool intensity, int is_pos) {
+    // MPEG-1 is_pos is only defined for 0..6 (7 = no intensity); raw
+    // values above 7 put the tan formula on or past its pole, where
+    // measured decoders emit unbounded garbage/NaN — treat them as the
+    // sentinel instead. LSF positions are defined (and measured) up to
+    // the 5-bit maximum, with 7 the sentinel there too.
+    if (!h.lsf && is_pos > 7) is_pos = 7;
     if (!intensity || is_pos == 7) {
       if (ms) {
         float m = xl[i], s = xr[i];
@@ -634,8 +720,18 @@ static void stereo_process(const Header& h, const GrInfo& gright,
       }
       return;
     }
-    float ratio = tanf((float)is_pos * (float)M_PI / 12.0f);
     float l = xl[i];
+    if (h.lsf) {
+      if (is_pos & 1) {
+        xl[i] = l * io_pow[(is_pos + 1) >> 1];
+        xr[i] = l;
+      } else {
+        xl[i] = l;
+        xr[i] = l * io_pow[is_pos >> 1];
+      }
+      return;
+    }
+    float ratio = tanf((float)is_pos * (float)M_PI / 12.0f);
     xl[i] = l * (ratio / (1.0f + ratio));
     xr[i] = l * (1.0f / (1.0f + ratio));
   };
@@ -654,21 +750,29 @@ static void stereo_process(const Header& h, const GrInfo& gright,
         apply_pair(i, intensity, sfr.l[band]);
     }
   } else {
-    // per (band, window): intensity where the right channel's band is
-    // entirely zero (checked on the reordered spectrum)
-    for (int band = 0; band < 13; band++) {
+    // frequency-order spectra (reorder_short runs after this): per
+    // (band, window) segment, intensity where the right channel's
+    // segment is entirely zero
+    if (gright.mixed) {
+      int bound = 0;
+      for (int i = 575; i >= 0; i--)
+        if (xr[i] != 0.0f) { bound = i + 1; break; }
+      for (int band = 0; band < 8 && lsfb[band] < 36; band++) {
+        bool intensity = lsfb[band] >= bound;
+        int hi = lsfb[band + 1] < 36 ? lsfb[band + 1] : 36;
+        for (int i = lsfb[band]; i < hi; i++)
+          apply_pair(i, intensity, sfr.l[band]);
+      }
+    }
+    for (int band = gright.mixed ? 3 : 0; band < 13; band++) {
       int lo = ssfb[band], hi = ssfb[band + 1];
       for (int w = 0; w < 3; w++) {
         bool zero = true;
-        for (int L = lo; L < hi; L++) {
-          int idx = (L / 6) * 18 + w * 6 + (L % 6);
-          if (xr[idx] != 0.0f) { zero = false; break; }
-        }
+        for (int L = lo; L < hi; L++)
+          if (xr[3 * L + w] != 0.0f) { zero = false; break; }
         int is_pos = band < 12 ? sfr.s[band][w] : 7;
-        for (int L = lo; L < hi; L++) {
-          int idx = (L / 6) * 18 + w * 6 + (L % 6);
-          apply_pair(idx, zero, is_pos);
-        }
+        for (int L = lo; L < hi; L++)
+          apply_pair(3 * L + w, zero, is_pos);
       }
     }
   }
@@ -995,7 +1099,9 @@ struct Decoder {
           size_t end = start + g.part2_3_length;
           if (end > b.nbits) { ok = false; break; }
           int preflag = g.preflag;
-          if (hdr.lsf)
+          if (hdr.lsf && ch == 1 && hdr.mode == 1 && (hdr.mode_ext & 1))
+            read_scalefactors_lsf_is(b, g, &sf[gr][ch], &preflag);
+          else if (hdr.lsf)
             read_scalefactors_lsf(b, g, &sf[gr][ch], &preflag);
           else
             read_scalefactors(b, g, si.scfsi[ch], gr, &sf[gr][ch], &sf[0][ch]);
@@ -1003,12 +1109,14 @@ struct Decoder {
           int nl = read_huffman(b, g, hdr, end, ix);
           if (nl < 0 || b.err) { ok = false; break; }
           requantize(g, sf[gr][ch], hdr, preflag, ix, nl, xr[ch]);
+          reorder_short_li(g, hdr, xr[ch]);
           b.pos = end;  // skip ancillary bits within part2_3
         }
         if (!ok) break;
         if (hdr.channels == 2 && hdr.mode == 1)
           stereo_process(hdr, si.gr[gr][1], sf[gr][1], xr[0], xr[1]);
         for (int ch = 0; ch < hdr.channels; ch++) {
+          li_to_hybrid(si.gr[gr][ch], xr[ch]);
           alias_reduce(si.gr[gr][ch], xr[ch]);
           hybrid_synth(si.gr[gr][ch], xr[ch], &st[ch], &pcm[ch]);
         }
@@ -1141,9 +1249,6 @@ rescan:
       }
     }
     const uint8_t* fr = buf.data() + pos;
-    if (h.lsf && h.mode == 1 && (h.mode_ext & 1)) {
-      return -7;  // LSF intensity stereo: codec-bridge territory
-    }
     if (first_audio_frame && h.layer == 3 &&
         mp3::is_tag_frame(fr, h.frame_bytes, h)) {
       pos += h.frame_bytes;

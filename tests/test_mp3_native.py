@@ -609,6 +609,136 @@ def test_intensity_stereo_crafted_frames(tmp_path):
             assert err < 1e-3, (mode_ext, tag, err)
 
 
+def _lsf_is_tools():
+    _rig_path()
+    import extract_lsf_is as X
+    import frames_lsf as FL
+
+    return X, FL
+
+
+@pytest.mark.parametrize("kind,sc", [
+    ("long", 2), ("long", 10), ("long", 11), ("long", 72),
+    ("long", 392), ("long", 494),
+    ("short", 2), ("short", 24), ("short", 392), ("short", 494),
+    ("msis", 10), ("msis", 11),
+])
+def test_lsf_intensity_crafted(tmp_path, kind, sc):
+    """LSF (MPEG-2) intensity stereo vs the mpg123 float oracle: the
+    three-region intensity scalefactor serialization, io base selection,
+    k map with sentinel 7, short blocks in the line-interleaved stereo
+    domain, and the MS interaction (extract_lsf_is.py derivations)."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    X, FL = _lsf_is_tools()
+    rng = np.random.default_rng(sc)
+    if kind == "short":
+        isc = sc >> 1
+        if isc < 180:
+            sl, nr = [isc // 36, (isc % 36) // 6, isc % 6], [12, 12, 12]
+        elif isc < 244:
+            j = isc - 180
+            sl, nr = [(j >> 4) & 3, (j >> 2) & 3, j & 3], [12, 9, 9]
+        else:
+            j = isc - 244
+            sl, nr = [j // 3, j % 3, 0], [15, 12, 0]
+        n = sum(s * r for s, r in zip(sl, nr)) or 1
+        bits = "".join(rng.choice(["0", "1"]) for _ in range(n))
+        fr = X.probe_frame_bt(sc, n, bits, block_type=2)
+    else:
+        import json
+
+        counts = json.load(open(os.path.join(
+            os.path.dirname(__file__), "..", "tools", "mp3_extract",
+            "lsf_is.json")))["scf_bits"]
+        n = max(counts[sc], 1)
+        bits = "".join(rng.choice(["0", "1"]) for _ in range(n))
+        fr = X.probe_frame(sc, n, bits,
+                           mode_ext=3 if kind == "msis" else 1)
+    Z = FL.lsf_stereo_zero_frame(X.RATE)
+    frames = [Z, fr, Z]
+    p = str(tmp_path / "is.mp3")
+    with open(p, "wb") as f:
+        f.write(b"".join(frames))
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = np.atleast_2d(oracle.decode_frames_mpg123(frames, rate=X.RATE,
+                                                    channels=2))
+    nmin = min(mine.shape[1], ref.shape[1])
+    err = float(np.max(np.abs(mine[:, :nmin] - ref[:, :nmin])))
+    assert err < 2e-4, (kind, sc, err)
+
+
+def test_lsf_intensity_with_coded_right(tmp_path):
+    """The intensity channel's own coded lines below the zero bound
+    requantize with the intensity scalefactors; bands above stay IS."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    X, FL = _lsf_is_tools()
+    from frames_lsf import LsfGranule
+
+    Z = FL.lsf_stereo_zero_frame(X.RATE)
+    g0, m0 = X.ch0_granule()
+    rng = np.random.default_rng(9)
+    for sc, nscf, mode_ext in ((2, 7, 1), (10, 35, 3), (11, 35, 1)):
+        scfbits = "".join(rng.choice(["0", "1"]) for _ in range(nscf))
+        mains = scfbits + ("000" + "00") * 4   # 4 table-1 pairs, lines 0-7
+        g1 = LsfGranule(part2_3_length=len(mains), big_values=4,
+                        scalefac_compress=sc, table_select=(1, 0, 0),
+                        region0_count=15, region1_count=0)
+        frames = [Z, FL.make_lsf_stereo_frame(X.RATE, [g0, g1], [m0, mains],
+                                              1, mode_ext), Z]
+        p = str(tmp_path / "ir.mp3")
+        with open(p, "wb") as f:
+            f.write(b"".join(frames))
+        mine = np.asarray(nat.decode_mp3(p).samples)
+        ref = np.atleast_2d(oracle.decode_frames_mpg123(frames, rate=X.RATE,
+                                                        channels=2))
+        n = min(mine.shape[1], ref.shape[1])
+        err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+        assert err < 2e-4, (sc, mode_ext, err)
+
+
+def test_mpeg1_short_block_intensity(tmp_path):
+    """MPEG-1 short-block intensity (LAME never emits IS): stereo
+    processing happens in the line-interleaved domain; is_pos kept in
+    the legal 0..7 range (raw values above 7 hit the tan-formula pole,
+    where measured decoders emit unbounded garbage — we clamp to the
+    sentinel instead, so only legal values are oracle-comparable)."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    _rig_path()
+    from frames import GranuleSpec
+    from frames_stereo import make_stereo_frame, zero_stereo_frame
+
+    rng = np.random.default_rng(4)
+    ones = ("0000" + "0000") * 40
+    g0 = GranuleSpec(part2_3_length=len(ones), count1table_select=1)
+    slen_tab = {4: (3, 0), 5: (1, 1), 7: (1, 3), 9: (2, 2)}
+    for scomp, mode_ext in ((4, 1), (5, 1), (9, 1), (7, 3)):
+        s1, s2 = slen_tab[scomp]
+        vals = [int(rng.integers(0, min(2 ** s, 8))) for s in
+                [s1] * 18 + [s2] * 18]
+        sf = "".join(format(v, f"0{s}b") if s else ""
+                     for v, s in zip(vals, [s1] * 18 + [s2] * 18))
+        g1 = GranuleSpec(part2_3_length=len(sf), scalefac_compress=scomp,
+                         window_switching=True, block_type=2)
+        frames = [zero_stereo_frame(1, mode_ext),
+                  make_stereo_frame([[g0, g1], [GranuleSpec(),
+                                                GranuleSpec()]],
+                                    [[ones, sf], ["", ""]], mode=1,
+                                    mode_ext=mode_ext),
+                  zero_stereo_frame(1, mode_ext)]
+        p = str(tmp_path / "m1s.mp3")
+        with open(p, "wb") as f:
+            f.write(b"".join(frames))
+        mine = np.asarray(nat.decode_mp3(p).samples)
+        ref = np.atleast_2d(oracle.decode_frames_mpg123(frames, rate=48000,
+                                                        channels=2))
+        n = min(mine.shape[1], ref.shape[1])
+        err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+        assert err < 2e-4, (scomp, mode_ext, err)
+
+
 def test_single_frame_with_id3v1_tail(tmp_path):
     """One audio frame followed by an ID3v1 tag: the double-sync guard
     must fall back to accepting the lone frame."""

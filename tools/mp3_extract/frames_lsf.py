@@ -78,3 +78,41 @@ def make_lsf_frame(rate: int, g: LsfGranule, main: str) -> bytes:
 
 def lsf_zero_frame(rate: int) -> bytes:
     return make_lsf_frame(rate, LsfGranule(), "")
+
+
+# ---------------------------------------------------------------------------
+# stereo (joint) LSF frames — for the intensity-stereo extraction
+
+SIDE_STEREO_LSF = 17
+
+
+def lsf_stereo_header(rate: int, mode: int = 1, mode_ext: int = 1) -> bytes:
+    ver, ridx = LSF_RATES[rate]
+    b2 = 0xE0 | (ver << 3) | (1 << 1) | 1
+    b3 = (BITRATE_IDX << 4) | (ridx << 2)
+    b4 = (mode << 6) | (mode_ext << 4)
+    return bytes([0xFF, b2, b3, b4])
+
+
+def make_lsf_stereo_frame(rate: int, grs, mains, mode: int = 1,
+                          mode_ext: int = 1) -> bytes:
+    """grs[ch] -> LsfGranule, mains[ch] -> bitstring (one granule/frame)."""
+    side = BitWriter()
+    side.put(0, 8)   # main_data_begin
+    side.put(0, 2)   # private bits
+    for ch in range(2):
+        grs[ch].write(side)
+    assert len(side) == SIDE_STEREO_LSF * 8, len(side)
+    body = BitWriter()
+    for ch in range(2):
+        body.put_bits(mains[ch])
+        assert len(mains[ch]) == grs[ch].part2_3_length
+    fb = frame_bytes(rate)
+    return (lsf_stereo_header(rate, mode, mode_ext) + side.to_bytes()
+            + body.to_bytes(fb - 4 - SIDE_STEREO_LSF))
+
+
+def lsf_stereo_zero_frame(rate: int, mode: int = 1,
+                          mode_ext: int = 1) -> bytes:
+    return make_lsf_stereo_frame(rate, [LsfGranule(), LsfGranule()],
+                                 ["", ""], mode, mode_ext)
