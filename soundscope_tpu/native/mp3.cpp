@@ -798,26 +798,71 @@ static void alias_reduce(const GrInfo& g, float xr[576]) {
 struct ChannelState {
   float overlap[32][18] = {{0}};
   float v[1024] = {0};
+  int vpos = 0;   // ring head, multiple of 64 (newest matrixing block)
 };
+
+// Lee's recursive DCT-II decomposition (closed-form; no tables beyond
+// the 1/(2cos) twiddles computed at init). C[j] = sum_k s[k]
+// cos(j(2k+1)pi/64); the 64-row matrixing folds onto it by symmetry.
+struct SynthTwiddles {
+  float ct[5][16];  // level L handles N = 32 >> L, uses N/2 entries
+  SynthTwiddles() {
+    for (int L = 0, N = 32; N >= 2; L++, N >>= 1)
+      for (int k = 0; k < N / 2; k++)
+        ct[L][k] = (float)(1.0 / (2.0 * cos((2 * k + 1) * M_PI / (2.0 * N))));
+  }
+};
+static const SynthTwiddles& synth_tw() {
+  static SynthTwiddles t;
+  return t;
+}
+
+template <int N>
+static inline void dct_ii(const float* in, float* out, const float (*ct)[16]) {
+  if constexpr (N == 1) {
+    out[0] = in[0];
+  } else {
+    constexpr int H = N / 2;
+    const float* c = ct[0];
+    float e[H], o[H], eo[H], oo[H];
+    for (int k = 0; k < H; k++) {
+      e[k] = in[k] + in[N - 1 - k];
+      o[k] = (in[k] - in[N - 1 - k]) * c[k];
+    }
+    dct_ii<H>(e, eo, ct + 1);
+    dct_ii<H>(o, oo, ct + 1);
+    for (int k = 0; k < H; k++) out[2 * k] = eo[k];
+    for (int k = 0; k < H - 1; k++) out[2 * k + 1] = oo[k] + oo[k + 1];
+    out[N - 1] = oo[H - 1];
+  }
+}
 
 // One polyphase synthesis step: 32 subband samples -> 32 PCM samples.
 static void synth_step(ChannelState* st, const float s32[32], float* out) {
-  const Dsp& D = dsp();
-  memmove(st->v + 64, st->v, 960 * sizeof(float));
-  for (int i = 0; i < 64; i++) {
-    float acc = 0.0f;
-    for (int k = 0; k < 32; k++) acc += D.nmat[i][k] * s32[k];
-    st->v[i] = acc;
-  }
+  float C[32];
+  dct_ii<32>(s32, C, synth_tw().ct);
+  st->vpos = (st->vpos - 64) & 1023;
+  float* vh = st->v + st->vpos;
+  // v[i] = cos((16+i)(2k+1)pi/64) row i -> +-C by cosine symmetry
+  for (int i = 0; i < 16; i++) vh[i] = C[16 + i];
+  vh[16] = 0.0f;
+  for (int i = 17; i < 48; i++) vh[i] = -C[48 - i < 0 ? i - 48 : 48 - i];
+  vh[48] = -C[0];
+  for (int i = 49; i < 64; i++) vh[i] = -C[i - 48];
   float u[512];
   for (int i = 0; i < 8; i++) {
-    memcpy(u + 64 * i, st->v + 128 * i, 32 * sizeof(float));
-    memcpy(u + 64 * i + 32, st->v + 128 * i + 96, 32 * sizeof(float));
+    // blocks start at multiples of 32, so they never wrap mid-block
+    memcpy(u + 64 * i, st->v + ((st->vpos + 128 * i) & 1023),
+           32 * sizeof(float));
+    memcpy(u + 64 * i + 32, st->v + ((st->vpos + 128 * i + 96) & 1023),
+           32 * sizeof(float));
   }
-  for (int j = 0; j < 32; j++) {
-    float acc = 0.0f;
-    for (int i = 0; i < 16; i++) acc += u[j + 32 * i] * kSynthD[j + 32 * i];
-    out[j] = acc;
+  // contiguous inner loop over j so the compiler can vectorize
+  for (int j = 0; j < 32; j++) out[j] = u[j] * kSynthD[j];
+  for (int i = 1; i < 16; i++) {
+    const float* uu = u + 32 * i;
+    const float* dd = kSynthD + 32 * i;
+    for (int j = 0; j < 32; j++) out[j] += uu[j] * dd[j];
   }
 }
 
@@ -831,28 +876,62 @@ static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
   for (int sb = 0; sb < 32; sb++) {
     const float* X = xr + sb * 18;
     float z[36];
+    bool xzero = true;
+    for (int k = 0; k < 18; k++)
+      if (X[k] != 0.0f) { xzero = false; break; }
+    if (xzero) {
+      // zero spectrum: the IMDCT contributes nothing — ring out the
+      // overlap and clear it (typical granules leave most of the 32
+      // subbands empty, so this path dominates)
+      for (int i = 0; i < 18; i++) {
+        ts[sb][i] = st->overlap[sb][i];
+        st->overlap[sb][i] = 0.0f;
+      }
+      continue;
+    }
     bool use_short = short_blk && !(g.mixed && sb < 2);
     if (use_short) {
       memset(z, 0, sizeof(z));
       for (int w = 0; w < 3; w++) {
-        float zz[12];
-        for (int i = 0; i < 12; i++) {
-          float acc = 0.0f;
-          for (int k = 0; k < 6; k++) acc += D.imdct12[i][k] * X[w * 6 + k];
-          zz[i] = acc * D.win_short[i];
+        // IMDCT12 output symmetries: x[3+i] = -x[2-i], x[9+i] = x[8-i]
+        float raw[12];
+        for (int i = 0; i < 3; i++) {
+          float a = 0.0f, b = 0.0f;
+          for (int k = 0; k < 6; k++) {
+            a += D.imdct12[i][k] * X[w * 6 + k];
+            b += D.imdct12[6 + i][k] * X[w * 6 + k];
+          }
+          raw[i] = a;
+          raw[6 + i] = b;
         }
-        for (int i = 0; i < 12; i++) z[6 + 6 * w + i] += zz[i];
+        for (int i = 0; i < 3; i++) {
+          raw[3 + i] = -raw[2 - i];
+          raw[9 + i] = raw[8 - i];
+        }
+        for (int i = 0; i < 12; i++)
+          z[6 + 6 * w + i] += raw[i] * D.win_short[i];
       }
     } else {
       int bt = short_blk ? 0 : g.block_type;  // mixed long subbands: type 0
       if (g.window_switching && g.block_type != 2) bt = g.block_type;
       if (!g.window_switching) bt = 0;
       const float* W = D.win[bt == 2 ? 0 : bt];
-      for (int i = 0; i < 36; i++) {
-        float acc = 0.0f;
-        for (int k = 0; k < 18; k++) acc += D.imdct36[i][k] * X[k];
-        z[i] = acc * W[i];
+      // IMDCT36 output symmetries: x[9+i] = -x[8-i], x[27+i] = x[26-i]
+      float raw[36];
+      for (int i = 0; i < 9; i++) {
+        float a = 0.0f, b = 0.0f;
+        for (int k = 0; k < 18; k++) {
+          a += D.imdct36[i][k] * X[k];
+          b += D.imdct36[18 + i][k] * X[k];
+        }
+        raw[i] = a;
+        raw[18 + i] = b;
       }
+      for (int i = 0; i < 9; i++) {
+        raw[9 + i] = -raw[8 - i];
+        raw[27 + i] = raw[26 - i];
+      }
+      for (int i = 0; i < 36; i++) z[i] = raw[i] * W[i];
     }
     for (int i = 0; i < 18; i++) {
       ts[sb][i] = z[i] + st->overlap[sb][i];
