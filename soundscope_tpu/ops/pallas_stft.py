@@ -149,9 +149,10 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
 
         w = hann[:].reshape(1, N1, N2)
         # time-domain mid/side, packed as z = mid + i*side: the conjugate
-        # split below then yields |M|^2 and |S|^2 directly
-        wl = win_l[slot]
-        wr = win_r[slot]
+        # split below then yields |M|^2 and |S|^2 directly. The sum is
+        # taken in f32 even when the scratch streams bf16.
+        wl = win_l[slot].astype(jnp.float32)
+        wr = win_r[slot].astype(jnp.float32)
         zr = (wl + wr) * (0.5 * w)                        # (wchunk, N1, N2)
         zi = (wl - wr) * (0.5 * w)
 
@@ -239,9 +240,10 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
             def perm(x, f):  # permute x's LAST axis by the 0/1 matrix f
                 lead = x.shape[:-1]
                 x2 = x.reshape(-1, x.shape[-1])  # merge: one big matmul
-                hi_part = x2.astype(jnp.bfloat16)
-                lo_part = (x2 - hi_part.astype(jnp.float32)).astype(jnp.bfloat16)
                 dims = (((1,), (0,)), ((), ()))
+                hi_part = x2.astype(jnp.bfloat16)
+                lo_part = (x2 - hi_part.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
                 y = jax.lax.dot_general(
                     hi_part, f, dims, preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
@@ -305,6 +307,10 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
         # f32 intermediates are twice the size; 16 windows/chunk with the
         # double-buffered window scratch overflows the 16 MB VMEM budget
         wchunk = 16 if dtype == jnp.bfloat16 else 8
+    import os as _os
+    stream = _os.environ.get("SS_STFT_STREAM", "bf16")
+    in_dtype = (jnp.bfloat16 if dtype == jnp.bfloat16 and stream == "bf16"
+                else jnp.float32)
 
     (f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch, exs, per, _) = _consts(rate)
     b, n = l.shape
@@ -313,8 +319,12 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
     nw = (nw_full // wchunk) * wchunk
     nwc = nw // wchunk
     # (B, N/128, 128): window w = 128 rows starting at row 16*w (aligned)
-    frames_l = l[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
-    frames_r = r[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2)
+    # in bf16 display mode the inputs stream as bf16: half the DMA bytes
+    # and half the window-scratch footprint (the first matmul consumes
+    # bf16 operands anyway; quantization lands ~2^-9 relative on inputs,
+    # far below the 0.1 dB display budget — tools/tpu_conformance.py)
+    frames_l = l[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2).astype(in_dtype)
+    frames_r = r[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2).astype(in_dtype)
 
     kernel = _make_kernel(wchunk, per, dtype)
     smem = pl.ANY
@@ -353,8 +363,8 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
             jax.ShapeDtypeStruct((b, nw, BANDS), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, wchunk, N1, N2), jnp.float32),  # double-buffered
-            pltpu.VMEM((2, wchunk, N1, N2), jnp.float32),
+            pltpu.VMEM((2, wchunk, N1, N2), in_dtype),  # double-buffered
+            pltpu.VMEM((2, wchunk, N1, N2), in_dtype),
             pltpu.SemaphoreType.DMA((2, 2 * wchunk)),
         ],
         interpret=interpret,

@@ -353,6 +353,19 @@ def test_layer2_matches_bridge(tmp_path, rate):
         assert d.rate == rate and d.samples.shape[1] % 1152 == 0
 
 
+def test_layer2_truncation_returns_prefix(tmp_path):
+    nat = _native_mp3()
+    bridge = _bridge()
+    p = str(tmp_path / "t.mp2")
+    bridge.encode(p, _material("noise", 44100), 44100, codec="mp2",
+                  bitrate=192000)
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[: len(raw) // 2 + 37])  # cut mid-frame
+    d = nat.decode_mp3(p)
+    assert 0.5 < d.duration < 1.6
+    assert d.samples.shape[1] % 1152 == 0
+
+
 def test_layer2_dispatch_is_native(tmp_path, monkeypatch):
     """decode_file() routes .mp2 (and Layer II inside .mp3) through the
     first-party decoder, no bridge involved."""
