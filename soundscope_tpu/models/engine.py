@@ -73,10 +73,12 @@ def analyze_batch_native(cfg: MeterConfig):
         if use_pallas and n % cfg.block == 0:
             # fused: filter + mask + weighted-square + channel-sum in one
             # Pallas pass; y never touches HBM
-            from soundscope_tpu.ops.pallas_iir import kweight_energy_pallas
+            from soundscope_tpu.ops.pallas_iir import (
+                kweight_energy_pallas_prefix,
+            )
 
-            z = kweight_energy_pallas(
-                bf.Tt, bf.Wt, bf.Ot, bf.A_pows[cfg.block].T,
+            z = kweight_energy_pallas_prefix(
+                bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
                 samples, n_valid, w_tuple,
             )
         else:

@@ -208,6 +208,184 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
     return z
 
 
+def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns):
+    import os
+
+    import jax.experimental.pallas as pl
+
+    w_list = [float(v) for v in weights]
+    mode = os.environ.get("SS_ENERGY_PREC", "bf16x2")
+    hiP = jax.lax.Precision.HIGHEST
+
+    def kernel(x_ref, nv_ref, tt_ref, ttlo_ref, wtb_ref, tbig_ref, pbig_ref,
+               otb_ref, tend_ref, abk_ref, z_ref, s_carry):
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            s_carry[:] = jnp.zeros_like(s_carry)
+
+        j = pl.program_id(0)
+        x = x_ref[:]                               # (rows, kpg*B)
+        sc = s_carry[:]                            # (rows, ns)
+
+        # all kpg block states at once: W_all = x @ block-diag(Wt);
+        # s_all = W_all @ T_big (strict block-lower powers of A_B)
+        #       + s_carry @ P_big (A_B^j per block) — ONE issue each,
+        # so the only cross-step dependency left is the tiny carry.
+        w_all = jnp.dot(x, wtb_ref[:], preferred_element_type=jnp.float32,
+                        precision=hiP)             # (rows, kpg*ns)
+        s_all = (
+            jnp.dot(w_all, tbig_ref[:], preferred_element_type=jnp.float32,
+                    precision=hiP)
+            + jnp.dot(sc, pbig_ref[:], preferred_element_type=jnp.float32,
+                      precision=hiP)
+        )
+        # state-driven output for every block: block-diag(Ot)
+        y_state = jnp.dot(s_all, otb_ref[:], preferred_element_type=jnp.float32,
+                          precision=hiP)           # (rows, kpg*B)
+
+        # carry to the next grid step (2 tiny matmuls, the whole chain)
+        s_carry[:] = (
+            jnp.dot(sc, abk_ref[:], preferred_element_type=jnp.float32,
+                    precision=hiP)
+            + jnp.dot(w_all, tend_ref[:], preferred_element_type=jnp.float32,
+                      precision=hiP)
+        )
+
+        if mode == "bf16x2":
+            tt_hi = tt_ref[:].astype(jnp.bfloat16)
+            tt_lo = ttlo_ref[:].astype(jnp.bfloat16)
+        else:
+            tt = tt_ref[:]
+        for i in range(kpg):
+            xi = x[:, i * B: (i + 1) * B]
+            if mode == "bf16x2":
+                x_hi = xi.astype(jnp.bfloat16)
+                x_lo = (xi - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def bdot(a_, b_):
+                    return jnp.dot(a_, b_, preferred_element_type=jnp.float32)
+
+                y0 = bdot(x_hi, tt_hi) + bdot(x_hi, tt_lo) + bdot(x_lo, tt_hi)
+            else:
+                y0 = jnp.dot(xi, tt, preferred_element_type=jnp.float32,
+                             precision=hiP)
+            y = y0 + y_state[:, i * B: (i + 1) * B]
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, (b, B), 1)
+                + (j * kpg + i) * B
+            )
+            yc = y.reshape(b, ch, B)
+            z = jnp.zeros((b, B), jnp.float32)
+            for c in range(ch):
+                if w_list[c] == 0.0:
+                    continue
+                z = z + w_list[c] * (yc[:, c] * yc[:, c])
+            z_ref[:, i * B: (i + 1) * B] = jnp.where(col < nv_ref[:], z, 0.0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "interpret"))
+def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
+                                 weights, interpret=False):
+    """Blocked-prefix variant of `kweight_energy_pallas`.
+
+    The sequential kernel chains kpg state updates per grid step, so its
+    wall time is bound by small-matmul issue latency, not FLOPs or HBM
+    (measured ~11 ms for the 32x2x60 s bench shape at any block size).
+    Here the per-step state prefix is ONE matmul against a precomputed
+    strict-block-lower-triangular matrix of A_B powers, the per-block
+    output injection is one block-diagonal matmul, and the only
+    remaining cross-step dependency is a (rows, 4) carry — two tiny
+    matmuls per step. Same algebra as the A_pows machinery elsewhere;
+    numerics re-verified by tools/tpu_conformance.py on chip.
+
+    `A_pows` is bf.A_pows — (block+1, ns, ns) with A_pows[k] = A_B^k (as
+    left-multiplying matrices; states are row vectors, so the kernel
+    uses transposes).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, ch, n = x.shape
+    B = bf_Tt.shape[0]
+    nb = n // B
+    ns = bf_Wt.shape[1]
+    rows = b * ch
+    x2 = x.reshape(rows, n)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
+
+    vmem_cap = 8 << 20
+    kpg = 1
+    for k in range(min(nb, 32), 1, -1):
+        if nb % k == 0 and (rows + b) * k * B * 4 * 2 <= vmem_cap:
+            kpg = k
+            break
+
+    # per-block advance is A_pows[B] (the table is indexed by SAMPLES);
+    # its block powers k = 0..kpg as right-multiplying transposes
+    ab_blk = A_pows[B]
+    mats = [jnp.eye(ns, dtype=jnp.float32)]
+    for _ in range(kpg):
+        mats.append(mats[-1] @ ab_blk)
+    abt = {k: jnp.transpose(mats[k]) for k in range(kpg + 1)}
+
+    def _blockdiag(m, reps):
+        out = jnp.zeros((reps * m.shape[0], reps * m.shape[1]), m.dtype)
+        for i in range(reps):
+            out = out.at[i * m.shape[0]:(i + 1) * m.shape[0],
+                         i * m.shape[1]:(i + 1) * m.shape[1]].set(m)
+        return out
+
+    wt_big = _blockdiag(bf_Wt, kpg)                  # (kpg*B, kpg*ns)
+    ot_big = _blockdiag(bf_Ot, kpg)                  # (kpg*ns, kpg*B)
+    t_big = jnp.zeros((kpg * ns, kpg * ns), jnp.float32)
+    p_big = jnp.zeros((ns, kpg * ns), jnp.float32)
+    tend = jnp.zeros((kpg * ns, ns), jnp.float32)
+    for i in range(kpg):
+        for jb in range(i + 1, kpg):
+            t_big = t_big.at[i * ns:(i + 1) * ns,
+                             jb * ns:(jb + 1) * ns].set(abt[jb - 1 - i])
+        tend = tend.at[i * ns:(i + 1) * ns, :].set(abt[kpg - 1 - i])
+    for jb in range(kpg):
+        p_big = p_big.at[:, jb * ns:(jb + 1) * ns].set(abt[jb])
+    ab_k = abt[kpg]
+
+    kernel = _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns)
+    tt_lo = bf_Tt - bf_Tt.astype(jnp.bfloat16).astype(jnp.float32)
+    z = pl.pallas_call(
+        kernel,
+        grid=(nb // kpg,),
+        in_specs=[
+            pl.BlockSpec((rows, kpg * B), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * B, kpg * ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * ns, kpg * ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, kpg * ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * ns, kpg * B), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * ns, ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, kpg * B), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, ns), jnp.float32)],
+        interpret=interpret,
+    )(x2, nv, bf_Tt, tt_lo, wt_big, t_big, p_big, ot_big, tend, ab_k)
+    return z
+
+
 def block_iir_pallas(bf: BlockFilter, x: jnp.ndarray, interpret: bool = False):
     """Zero-initial-state filtering of (..., N) with N % block == 0.
 

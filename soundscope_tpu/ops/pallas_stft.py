@@ -90,8 +90,14 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
     # Mosaic's middle-axis lowering on v5e.
     layout = os.environ.get("SS_STFT_LAYOUT", "swapped")
 
+    # rows of the contiguous HBM tile one chunk needs: wchunk windows at
+    # 16-row hops plus the 112-row overlap tail of the last window
+    rows_per_hop = HOP // N2  # 16
+    TILE_ROWS = wchunk * rows_per_hop + (N1 - rows_per_hop)
+
     def kernel(l_hbm, r_hbm, f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch,
-               exs, mid_out, side_out, win_l, win_r, sem):
+               exs, mid_out, side_out, tile_l, tile_r, win_l, win_r,
+               sem_tile, sem_win):
         i = pl.program_id(0)
         j = pl.program_id(1)
         nwc = pl.num_programs(1)
@@ -99,60 +105,71 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
         total = pl.num_programs(0) * nwc
         slot = jax.lax.rem(step, 2)
 
-        # Windows by DMA layout: the input is pre-shaped (B, N/128, 128),
-        # so window w (16384 contiguous samples starting at w*HOP) is rows
-        # [w*16, w*16+128) — aligned offsets (x16), and the destination is
-        # directly the (128, 128) matrix the four-step FFT consumes. No
-        # in-kernel shuffles (Mosaic cannot concat sublane-offset slices).
-        #
-        # Manual copies are NOT pipelined by Mosaic (only BlockSpec-driven
-        # ones are), so the scratch is double-buffered by hand: each step
-        # prefetches the NEXT chunk's windows into the other slot while
-        # computing on the windows prefetched by the previous step.
-        rows_per_hop = HOP // N2  # 16
+        # Overlapped windows share 112 of their 128 rows with their
+        # neighbours, so fetching per window re-reads every input byte
+        # 8x from HBM. Each step instead DMAs ONE contiguous
+        # (TILE_ROWS, 128) tile per channel (manual copies are not
+        # pipelined by Mosaic, hence the hand-rolled double buffer), then
+        # fans it out into the stacked (wchunk, 128, 128) window scratch
+        # with VMEM->VMEM copies at local bandwidth. (Window w = tile
+        # rows [16w, 16w+128); Mosaic cannot stack sublane-offset
+        # *slices*, but local DMAs express the stacking fine.)
+        def start_tile(slot_, ii, jj):
+            src = pl.ds(jj * (wchunk * rows_per_hop), TILE_ROWS)
+            pltpu.make_async_copy(
+                l_hbm.at[ii, src, :], tile_l.at[slot_], sem_tile.at[slot_, 0]
+            ).start()
+            pltpu.make_async_copy(
+                r_hbm.at[ii, src, :], tile_r.at[slot_], sem_tile.at[slot_, 1]
+            ).start()
 
-        def start_copies(slot_, ii, jj):
-            for w_ in range(wchunk):
-                src = pl.ds((jj * wchunk + w_) * rows_per_hop, N1)
-                pltpu.make_async_copy(
-                    l_hbm.at[ii, src, :], win_l.at[slot_, w_],
-                    sem.at[slot_, w_],
-                ).start()
-                pltpu.make_async_copy(
-                    r_hbm.at[ii, src, :], win_r.at[slot_, w_],
-                    sem.at[slot_, wchunk + w_],
-                ).start()
-
-        def wait_copies(slot_):
-            for w_ in range(wchunk):
-                pltpu.make_async_copy(
-                    l_hbm.at[0, pl.ds(0, N1), :], win_l.at[slot_, w_],
-                    sem.at[slot_, w_],
-                ).wait()
-                pltpu.make_async_copy(
-                    r_hbm.at[0, pl.ds(0, N1), :], win_r.at[slot_, w_],
-                    sem.at[slot_, wchunk + w_],
-                ).wait()
+        def wait_tile(slot_):
+            pltpu.make_async_copy(
+                l_hbm.at[0, pl.ds(0, TILE_ROWS), :], tile_l.at[slot_],
+                sem_tile.at[slot_, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                l_hbm.at[0, pl.ds(0, TILE_ROWS), :], tile_r.at[slot_],
+                sem_tile.at[slot_, 1],
+            ).wait()
 
         @pl.when(step == 0)
         def _():
-            start_copies(0, i, j)
+            start_tile(0, i, j)
 
         @pl.when(step + 1 < total)
         def _():
             # successor in (tracks, chunks) iteration order
             nxt_i = jnp.where(j + 1 < nwc, i, i + 1)
             nxt_j = jnp.where(j + 1 < nwc, j + 1, 0)
-            start_copies(1 - slot, nxt_i, nxt_j)
+            start_tile(1 - slot, nxt_i, nxt_j)
 
-        wait_copies(slot)
+        wait_tile(slot)
+
+        for w_ in range(wchunk):
+            src = pl.ds(w_ * rows_per_hop, N1)
+            pltpu.make_async_copy(
+                tile_l.at[slot, src, :], win_l.at[w_], sem_win.at[w_]
+            ).start()
+            pltpu.make_async_copy(
+                tile_r.at[slot, src, :], win_r.at[w_], sem_win.at[wchunk + w_]
+            ).start()
+        for w_ in range(wchunk):
+            pltpu.make_async_copy(
+                tile_l.at[slot, pl.ds(0, N1), :], win_l.at[w_],
+                sem_win.at[w_],
+            ).wait()
+            pltpu.make_async_copy(
+                tile_l.at[slot, pl.ds(0, N1), :], win_r.at[w_],
+                sem_win.at[wchunk + w_],
+            ).wait()
 
         w = hann[:].reshape(1, N1, N2)
         # time-domain mid/side, packed as z = mid + i*side: the conjugate
         # split below then yields |M|^2 and |S|^2 directly. The sum is
         # taken in f32 even when the scratch streams bf16.
-        wl = win_l[slot].astype(jnp.float32)
-        wr = win_r[slot].astype(jnp.float32)
+        wl = win_l[:].astype(jnp.float32)
+        wr = win_r[:].astype(jnp.float32)
         zr = (wl + wr) * (0.5 * w)                        # (wchunk, N1, N2)
         zi = (wl - wr) * (0.5 * w)
 
@@ -363,9 +380,16 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
             jax.ShapeDtypeStruct((b, nw, BANDS), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, wchunk, N1, N2), in_dtype),  # double-buffered
-            pltpu.VMEM((2, wchunk, N1, N2), in_dtype),
-            pltpu.SemaphoreType.DMA((2, 2 * wchunk)),
+            # double-buffered contiguous chunk tiles (HBM-facing)
+            pltpu.VMEM((2, wchunk * (HOP // N2) + N1 - HOP // N2, N2),
+                       in_dtype),
+            pltpu.VMEM((2, wchunk * (HOP // N2) + N1 - HOP // N2, N2),
+                       in_dtype),
+            # stacked windows, rebuilt locally every step
+            pltpu.VMEM((wchunk, N1, N2), in_dtype),
+            pltpu.VMEM((wchunk, N1, N2), in_dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2 * wchunk,)),
         ],
         interpret=interpret,
     )(frames_l, frames_r, f1r, f1i, f2r, f2i, twr, twi,

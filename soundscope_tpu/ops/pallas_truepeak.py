@@ -91,21 +91,23 @@ def _make_kernel(factor: int, nsteps: int, rows: int, blk: int, kpg: int):
             # shifted-by-k block: roll(x, k) is right for n >= k; for n < k
             # the wrapped columns must come from the END of the PREVIOUS
             # block, which is exactly what roll(prev, k)[:, :k] holds.
+            # The shifts depend only on k, so they are built ONCE and
+            # shared by all F phases (they dominated the VPU cost when
+            # recomputed inside the phase loop).
+            shifted = [x]
+            for k in range(1, Kp):
+                shifted.append(jnp.where(
+                    col < k,
+                    pltpu.roll(xp, k, 1),
+                    pltpu.roll(x, k, 1),
+                ))
             for p in range(F):
                 acc = jnp.zeros((rows, BLK), jnp.float32)
                 for k in range(Kp):
                     hk = float(h_np[p, k])
                     if hk == 0.0:
                         continue
-                    if k == 0:
-                        shifted = x
-                    else:
-                        shifted = jnp.where(
-                            col < k,
-                            pltpu.roll(xp, k, 1),
-                            pltpu.roll(x, k, 1),
-                        )
-                    acc = acc + hk * shifted
+                    acc = acc + hk * shifted[k]
                 # outputs beyond the valid region must not count
                 acc = jnp.where(valid, acc, 0.0)
                 tp_blk = jnp.maximum(
