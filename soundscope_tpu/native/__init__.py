@@ -150,9 +150,8 @@ class decoder:
     @staticmethod
     def decode_mp3(path: str):
         """First-party MPEG audio decoder (native/mp3.cpp): Layers
-        I/II/III at every MPEG-1/2/2.5 rate, including free-format and
-        LSF intensity-stereo streams; raises DecodeError on one
-        degenerate corner (8 kHz mixed blocks) for the codec bridge."""
+        I/II/III at every MPEG-1/2/2.5 rate, including free-format,
+        LSF intensity stereo, and 8 kHz mixed blocks."""
         return _decode_with("ss_decode_mp3", path, "MP3")
 
     @staticmethod

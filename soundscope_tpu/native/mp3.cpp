@@ -7,9 +7,8 @@
 //
 // The reference delegates MPEG audio to the symphonia crate
 // (/root/reference/src/audio_player.rs:169-267, Cargo.toml:21); this is
-// the rebuild's own implementation, sitting in front of the libav codec
-// bridge (codecs.cpp), which remains the fallback only for one
-// degenerate corner (MPEG-2.5 8 kHz mixed blocks, below).
+// the rebuild's own implementation; the libav codec bridge
+// (codecs.cpp) is only used for non-MPEG codecs.
 //
 // Scope: MPEG-1/2/2.5 Layer III at all nine sample rates, mono/stereo/
 // joint (MS and intensity, including the LSF intensity variant)/dual,
@@ -563,7 +562,12 @@ static int read_huffman(Bits& b, const GrInfo& g, const Header& h,
     int vals[4] = {(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1};
     for (int k = 0; k < 4; k++)
       if (vals[k] && b.get1()) vals[k] = -1;
-    if (b.pos > part2_3_end) break;  // overran into ancillary bits: drop quad
+    // a quad whose value/sign reads cross part2_3_end is DROPPED —
+    // libav (and the minimp3 family) agree; mpg123 instead keeps it,
+    // reading its missing sign bits from the ancillary data (measured
+    // on crafted streams; the two references disagree, so we follow
+    // the saner drop)
+    if (b.pos > part2_3_end) break;
     for (int k = 0; k < 4; k++) ix[i + k] = vals[k];
     i += 4;
   }
@@ -608,15 +612,18 @@ static void requantize(const GrInfo& g, const Scalefactors& sf,
   int ix_pos = 0;
   int start_band = 0;
   if (g.mixed) {
-    // first 36 lines: long bands 0..7
+    // long region: 3*ssfb[3] lines under the long band table (36 lines
+    // everywhere except MPEG-2.5 8 kHz, whose long bands span 72 —
+    // measured against mpg123, tools/mp3_extract/extract_8k_mixed.py)
+    int mixed_long = 3 * ssfb[3];
     int band = 0;
-    for (int i = 0; i < 36 && i < lines; i++) {
+    for (int i = 0; i < mixed_long && i < lines; i++) {
       while (band < 8 && i >= lsfb[band + 1]) band++;
       float mult = exp2f(gain - sfstep * (float)(sf.l[band] +
                           (preflag ? kPretab[band] : 0)));
       xr[i] = val(i, mult);
     }
-    ix_pos = 36;
+    ix_pos = mixed_long;
     start_band = 3;
   }
   // short/mixed spectra leave here in transmission order (window-major
@@ -646,7 +653,7 @@ static void reorder_short_li(const GrInfo& g, const Header& h,
   const uint16_t* ssfb = sfb_short(h);
   float tmp[576];
   memcpy(tmp, xr, sizeof(tmp));
-  int pos = g.mixed ? 36 : 0;
+  int pos = g.mixed ? 3 * ssfb[3] : 0;
   for (int band = g.mixed ? 3 : 0; band < 13 && pos < 576; band++) {
     int lo = ssfb[band];
     int width = ssfb[band + 1] - lo;
@@ -656,10 +663,14 @@ static void reorder_short_li(const GrInfo& g, const Header& h,
   }
 }
 
-static void li_to_hybrid(const GrInfo& g, float xr[576]) {
+static void li_to_hybrid(const GrInfo& g, const Header& h, float xr[576]) {
+  (void)h;
   if (!(g.window_switching && g.block_type == 2)) return;
   float tmp[576];
   memcpy(tmp, xr, sizeof(tmp));
+  // the hybrid long region of a mixed block is always 2 subbands; at
+  // 8 kHz the lines between there and the first short band (36..71,
+  // already identity in the li domain) still interleave into 6-chunks
   for (int L = g.mixed ? 12 : 0; L < 192; L++)
     for (int w = 0; w < 3; w++)
       xr[(L / 6) * 18 + w * 6 + L % 6] = tmp[3 * L + w];
@@ -867,10 +878,12 @@ static void synth_step(ChannelState* st, const float s32[32], float* out) {
 }
 
 // One granule: xr[576] -> 576 PCM samples appended to out.
-static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
-                         std::vector<float>* out) {
+static void hybrid_synth(const GrInfo& g, const Header& h, float xr[576],
+                         ChannelState* st, std::vector<float>* out) {
   const Dsp& D = dsp();
   bool short_blk = g.window_switching && g.block_type == 2;
+  (void)h;
+  int nlong = 2;  // mixed long region: always 2 hybrid subbands
   float ts[32][18];  // time samples per subband
 
   for (int sb = 0; sb < 32; sb++) {
@@ -889,7 +902,7 @@ static void hybrid_synth(const GrInfo& g, float xr[576], ChannelState* st,
       }
       continue;
     }
-    bool use_short = short_blk && !(g.mixed && sb < 2);
+    bool use_short = short_blk && !(g.mixed && sb < nlong);
     if (use_short) {
       memset(z, 0, sizeof(z));
       for (int w = 0; w < 3; w++) {
@@ -974,7 +987,6 @@ struct Decoder {
   Header h;
   bool have_format = false;
   int free_base = 0;   // free-format frame bytes without padding
-  bool bail = false;   // stream needs the codec bridge (degenerate corner)
   std::vector<uint8_t> reservoir;
   ChannelState st[2];
   std::vector<float> pcm[2];
@@ -1142,20 +1154,6 @@ struct Decoder {
     const uint8_t* main = fr + off + side_bytes;
     size_t main_len = n - off - side_bytes;
 
-    // MPEG-2.5 8 kHz mixed blocks have contradictory geometry (the six
-    // long scalefactor bands span 72 lines but the hybrid long region is
-    // 36): measured decoders disagree with any consistent reading, and
-    // no encoder emits them — hand the whole file to the codec bridge.
-    if (hdr.lsf && hdr.version == 0 && hdr.rate == 8000) {
-      int granules = hdr.lsf ? 1 : 2;
-      for (int gr = 0; gr < granules; gr++)
-        for (int ch = 0; ch < hdr.channels; ch++)
-          if (si.gr[gr][ch].window_switching && si.gr[gr][ch].mixed) {
-            bail = true;
-            return false;
-          }
-    }
-
     bool ok = true;
     if ((size_t)si.main_data_begin > reservoir.size()) {
       ok = false;  // reservoir not filled yet (stream start / seek)
@@ -1195,9 +1193,9 @@ struct Decoder {
         if (hdr.channels == 2 && hdr.mode == 1)
           stereo_process(hdr, si.gr[gr][1], sf[gr][1], xr[0], xr[1]);
         for (int ch = 0; ch < hdr.channels; ch++) {
-          li_to_hybrid(si.gr[gr][ch], xr[ch]);
+          li_to_hybrid(si.gr[gr][ch], hdr, xr[ch]);
           alias_reduce(si.gr[gr][ch], xr[ch]);
-          hybrid_synth(si.gr[gr][ch], xr[ch], &st[ch], &pcm[ch]);
+          hybrid_synth(si.gr[gr][ch], hdr, xr[ch], &st[ch], &pcm[ch]);
         }
       }
     }
@@ -1347,7 +1345,6 @@ rescan:
       dec.have_format = true;
     }
     bool frame_ok = dec.decode_frame(fr, h.frame_bytes, h);
-    if (dec.bail) return -8;  // degenerate stream: codec-bridge territory
     if (!frame_ok && !require_double_sync && frames_done == 0) {
       // fallback scan locked onto bytes that do not even decode: keep
       // searching instead of reporting a silent pseudo-frame

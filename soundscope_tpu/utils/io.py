@@ -305,9 +305,8 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
         try:
             return nat.decode_mp3(path)
         except DecodeError:
-            # the first-party decoder covers MPEG-1/2/2.5 Layers I-III
-            # (incl. free format and LSF intensity); only a degenerate
-            # corner (8 kHz mixed blocks) falls through to the bridge
+            # the first-party decoder covers all of MPEG-1/2/2.5 Layers
+            # I-III; only corrupt streams fall through to the bridge
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
     if nat is not None and nat.codecs_available():

@@ -752,6 +752,108 @@ def test_mpeg1_short_block_intensity(tmp_path):
         assert err < 2e-4, (scomp, mode_ext, err)
 
 
+def _quad_bits(values):
+    """count1-table-B bits for complete quads of 0/±1 values."""
+    out = []
+    for i in range(0, len(values), 4):
+        q = values[i: i + 4]
+        out.append("".join("0" if v else "1" for v in q))
+        for v in q:
+            if v:
+                out.append("1" if v < 0 else "0")
+    return "".join(out)
+
+
+def test_8khz_mixed_blocks(tmp_path):
+    """MPEG-2.5 8 kHz mixed blocks: the long band table spans 72 lines
+    while the hybrid long region holds 36. Measured against mpg123
+    (tools/mp3_extract/extract_8k_mixed.py): lines 0-35 are long
+    (2 subbands), lines 36-71 keep their line-interleaved positions
+    (identity, short windows), the band-table reorder starts at
+    transmission line 72, and the long scalefactor bands 3-5 cover the
+    identity region. Impulse sweep plus randomized structured frames."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    _rig_path()
+    import frames_lsf as FL
+    from extract_d import count1b_impulse_bits
+    from frames_lsf import LsfGranule
+
+    Z = FL.lsf_zero_frame(8000)
+
+    def compare(g, bits, tag, tol=1e-4):
+        frames = [Z, FL.make_lsf_frame(8000, g, bits), Z]
+        p = str(tmp_path / "m8.mp3")
+        with open(p, "wb") as f:
+            f.write(b"".join(frames))
+        mine = np.asarray(nat.decode_mp3(p).samples)[0]
+        ref = oracle.decode_frames_mpg123(frames, rate=8000, channels=1)
+        n = min(len(mine), len(ref))
+        assert n > 0, tag
+        err = float(np.max(np.abs(mine[:n] - ref[:n])))
+        assert err < tol, (tag, err)
+
+    for ln in list(range(30, 80, 3)) + [0, 12, 100, 130]:
+        bits = count1b_impulse_bits(ln)
+        g = LsfGranule(part2_3_length=len(bits), window_switching=True,
+                       block_type=2, mixed_block=1, count1table_select=1)
+        compare(g, bits, f"impulse {ln}")
+
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        sc = int(rng.integers(0, 512))
+        if sc < 400:
+            sl = [(sc >> 4) // 5, (sc >> 4) % 5, (sc & 15) >> 2, sc & 3]
+            nr = [6, 9, 9, 9]
+        elif sc < 500:
+            s2 = sc - 400
+            sl = [(s2 >> 2) // 5, (s2 >> 2) % 5, s2 & 3, 0]
+            nr = [6, 9, 12, 6]
+        else:
+            s2 = sc - 500
+            sl = [s2 // 3, s2 % 3, 0, 0]
+            nr = [15, 18, 0, 0]
+        nscf = sum(a * b for a, b in zip(sl, nr))
+        scf = "".join(rng.choice(["0", "1"]) for _ in range(nscf))
+        # complete quads only: the references disagree on quads whose
+        # reads cross part2_3_end (see test_count1_overrun_drop)
+        values = [int(v) for v in rng.choice([-1, 0, 1], size=4 * 30)]
+        bits = scf + _quad_bits(values)
+        g = LsfGranule(part2_3_length=len(bits), window_switching=True,
+                       block_type=2, mixed_block=1, count1table_select=1,
+                       scalefac_compress=sc,
+                       global_gain=int(rng.integers(190, 220)),
+                       scalefac_scale=int(rng.integers(0, 2)),
+                       subblock_gain=tuple(int(v)
+                                           for v in rng.integers(0, 4, 3)))
+        compare(g, bits, f"random {trial} sc={sc}", tol=1e-3)
+
+
+def test_count1_overrun_drop(tmp_path):
+    """A count1 quad whose value/sign reads cross part2_3_end: the
+    references themselves disagree (mpg123 keeps the quad, reading its
+    missing sign from ancillary bits; libav and the minimp3 family drop
+    it). The first-party decoder follows the drop — pin it against
+    libav."""
+    nat = _native_mp3()
+    _bridge()
+    _rig_path()
+    import frames_lsf as FL
+    from frames_lsf import LsfGranule
+
+    core = "1011111001011001110100"  # last quad's 2nd sign crosses the end
+    Z = FL.lsf_zero_frame(24000)
+    g = LsfGranule(part2_3_length=len(core), count1table_select=1)
+    frames = [Z, FL.make_lsf_frame(24000, g, core), Z]
+    p = str(tmp_path / "ov.mp3")
+    with open(p, "wb") as f:
+        f.write(b"".join(frames))
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = np.asarray(nat.decode_any(p).samples)
+    n = min(mine.shape[1], ref.shape[1])
+    assert float(np.max(np.abs(mine[:, :n] - ref[:, :n]))) < 1e-4
+
+
 def test_single_frame_with_id3v1_tail(tmp_path):
     """One audio frame followed by an ID3v1 tag: the double-sync guard
     must fall back to accepting the lone frame."""
