@@ -34,9 +34,11 @@ def test_engine_pallas_impl_flag(rng):
 
     orig = P.block_iir_pallas
     orig_e = P.kweight_energy_pallas
+    orig_p = P.kweight_energy_pallas_prefix
     orig_t = TP.true_peak_pallas
     P.block_iir_pallas = lambda bf, x, interpret=False: orig(bf, x, interpret=True)
     P.kweight_energy_pallas = lambda *a, **k: orig_e(*a, **{**k, "interpret": True})
+    P.kweight_energy_pallas_prefix = lambda *a, **k: orig_p(*a, **{**k, "interpret": True})
     TP.true_peak_pallas = lambda *a, **k: orig_t(*a, **{**k, "interpret": True})
     try:
         x = (rng.standard_normal((2, 1 << 16)) * 0.1).astype(np.float32)
@@ -51,4 +53,5 @@ def test_engine_pallas_impl_flag(rng):
     finally:
         P.block_iir_pallas = orig
         P.kweight_energy_pallas = orig_e
+        P.kweight_energy_pallas_prefix = orig_p
         TP.true_peak_pallas = orig_t

@@ -4,7 +4,7 @@ Reproduces the BASELINE.md fidelity table on whatever backend is default
 (the real chip under axon; CPU with --interpret for smoke tests): a
 32-level sweep of stereo sines driven through
 
-  * kweight_energy_pallas  (fused K-weight IIR + mask + weighted square),
+  * kweight_energy_pallas_prefix  (the shipped fused K-weight energy kernel),
   * true_peak_pallas       (polyphase oversampled peak),
   * stft_pooled_pallas     (16384-pt packed FFT + pooled display scaling),
 
@@ -126,7 +126,7 @@ def main(argv=None) -> int:
     from soundscope_tpu.ops import loudness as L
     from soundscope_tpu.ops.biquad import make_block_filter
     from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
-    from soundscope_tpu.ops.pallas_iir import kweight_energy_pallas
+    from soundscope_tpu.ops.pallas_iir import kweight_energy_pallas_prefix
     from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
     from soundscope_tpu.ops.pallas_truepeak import pick_block, true_peak_pallas
 
@@ -153,8 +153,8 @@ def main(argv=None) -> int:
 
     @jax.jit
     def integrated_from_pallas(x, n_valid):
-        z = kweight_energy_pallas(
-            bf.Tt, bf.Wt, bf.Ot, bf.A_pows[cfg.block].T, x, n_valid, w_tuple,
+        z = kweight_energy_pallas_prefix(
+            bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x, n_valid, w_tuple,
             interpret=args.interpret,
         )
         sums = L.subblock_sums(z, cfg.subblock)
