@@ -32,8 +32,13 @@ def build(force: bool = False) -> str:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     newest = max(os.path.getmtime(s) for s in srcs)
     if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
+        # -ffast-math: the decode paths are FIR/IMDCT float chains with
+        # no NaN/Inf semantics to preserve; measured 11% faster MP3
+        # decode with ~7e-7 output change (validated by the oracle
+        # test suite at 2e-5 tolerance)
         base = ["g++", "-O3", "-march=native", "-funroll-loops",
-                "-shared", "-fPIC", "-std=c++17", *srcs, "-o", _SO]
+                "-ffast-math", "-shared", "-fPIC", "-std=c++17",
+                *srcs, "-o", _SO]
         if _libav_headers():
             try:
                 subprocess.run(
