@@ -259,7 +259,6 @@ static bool read_side_info(Bits& b, const Header& h, SideInfo* si) {
 // ---------------------------------------------------------------------------
 // Huffman decode (two-level LUTs built once from the extracted tables)
 
-static bool g_trees_ready = false;
 
 // Two-level lookup decode: 10-bit primary, 9-bit secondary (max code
 // length is 19). Entry len==0 -> invalid; len==0xFF -> secondary table
@@ -315,17 +314,22 @@ static inline int lut_decode(const HuffLut& L, Bits& b) {
 }
 
 static void build_trees() {
-  if (g_trees_ready) return;
-  for (int i = 0; i < 32; i++)
-    if (kHuffTables[i].n) lut_build(g_lut[i], kHuffTables[i]);
-  memset(g_quadA_lut, 0, sizeof(g_quadA_lut));
-  for (size_t e = 0; e < sizeof(kCount1A) / sizeof(kCount1A[0]); e++) {
-    int len = kCount1A[e].len;
-    uint32_t base = (uint32_t)kCount1A[e].code << (6 - len);
-    for (uint32_t k = 0; k < (1u << (6 - len)); k++)
-      g_quadA_lut[base + k] = LutEntry{kCount1A[e].vwxy, (uint8_t)len};
-  }
-  g_trees_ready = true;
+  // ctypes releases the GIL during ss_decode_mp3, so concurrent decodes
+  // are possible; a C++11 magic static makes the one-time table build
+  // thread-safe (a plain bool guard would race)
+  static const bool done = [] {
+    for (int i = 0; i < 32; i++)
+      if (kHuffTables[i].n) lut_build(g_lut[i], kHuffTables[i]);
+    memset(g_quadA_lut, 0, sizeof(g_quadA_lut));
+    for (size_t e = 0; e < sizeof(kCount1A) / sizeof(kCount1A[0]); e++) {
+      int len = kCount1A[e].len;
+      uint32_t base = (uint32_t)kCount1A[e].code << (6 - len);
+      for (uint32_t k = 0; k < (1u << (6 - len)); k++)
+        g_quadA_lut[base + k] = LutEntry{kCount1A[e].vwxy, (uint8_t)len};
+    }
+    return true;
+  }();
+  (void)done;
 }
 
 // ---------------------------------------------------------------------------
@@ -765,12 +769,15 @@ static void stereo_process(const Header& h, const GrInfo& gright,
     // (band, window) segment, intensity where the right channel's
     // segment is entirely zero
     if (gright.mixed) {
+      // the mixed long region is 3*ssfb[3] lines (72 at MPEG-2.5 8 kHz,
+      // 36 elsewhere) — same geometry as requantize/reorder
+      int mixed_long = 3 * ssfb[3];
       int bound = 0;
       for (int i = 575; i >= 0; i--)
         if (xr[i] != 0.0f) { bound = i + 1; break; }
-      for (int band = 0; band < 8 && lsfb[band] < 36; band++) {
+      for (int band = 0; band < 8 && lsfb[band] < mixed_long; band++) {
         bool intensity = lsfb[band] >= bound;
-        int hi = lsfb[band + 1] < 36 ? lsfb[band + 1] : 36;
+        int hi = lsfb[band + 1] < mixed_long ? lsfb[band + 1] : mixed_long;
         for (int i = lsfb[band]; i < hi; i++)
           apply_pair(i, intensity, sfr.l[band]);
       }
@@ -974,13 +981,14 @@ static void hybrid_synth(const GrInfo& g, const Header& h, float xr[576],
 // Layer I/II scalefactor multiplier: scf(i) = 2 * 2^(-i/3) (measured by
 // the tools/mp3_extract attenuation probes; double-precision table).
 static inline float l12_scf(int i) {
-  static float tab[64];
-  static bool init = false;
-  if (!init) {
-    for (int k = 0; k < 64; k++) tab[k] = (float)(2.0 * exp2(-k / 3.0));
-    init = true;
-  }
-  return tab[i & 63];
+  struct Tab {
+    float t[64];
+    Tab() {
+      for (int k = 0; k < 64; k++) t[k] = (float)(2.0 * exp2(-k / 3.0));
+    }
+  };
+  static const Tab tab;  // magic static: thread-safe one-time init
+  return tab.t[i & 63];
 }
 
 struct Decoder {
@@ -1321,6 +1329,9 @@ rescan:
       mp3::Header h2;
       if (!mp3::parse_header(h2w, &h2) || h2.rate != h.rate ||
           h2.version != h.version || h2.layer != h.layer) {
+        // a rejected free-format candidate must not poison the size
+        // discovery for the real stream
+        if (h.free) dec.free_base = 0;
         pos++;
         continue;
       }

@@ -82,6 +82,50 @@ def _run(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x2d, interpret=False):
     return y
 
 
+
+def pick_kpg(nblocks: int, bytes_per_block: int, kmax: int = 32,
+             vmem_cap: int = 8 << 20) -> int:
+    """Blocks per grid step: the largest divisor of nblocks <= kmax whose
+    per-step tile bytes stay within a conservative VMEM budget (shared
+    policy for the energy and true-peak kernels)."""
+    for k in range(min(nblocks, kmax), 1, -1):
+        if nblocks % k == 0 and bytes_per_block * k <= vmem_cap:
+            return k
+    return 1
+
+
+def toeplitz_dot(x, tt_ref, ttlo_ref, mode):
+    """The kernels' Toeplitz product. f32 operands force Mosaic's 6-pass
+    MXU sequence regardless of `precision` (measured: DEFAULT ==
+    HIGHEST wall time); "bf16x2" splits both operands hi+lo and keeps
+    the three significant cross terms — 3 native passes, ~21 of f32's
+    24 mantissa bits, f32 accumulation (~2^-21 relative on y; the
+    on-chip gate tools/tpu_conformance.py re-verifies)."""
+    if mode == "bf16x2":
+        tt_hi = tt_ref[:].astype(jnp.bfloat16)
+        tt_lo = ttlo_ref[:].astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def bdot(a_, b_):
+            return jnp.dot(a_, b_, preferred_element_type=jnp.float32)
+
+        return bdot(x_hi, tt_hi) + bdot(x_hi, tt_lo) + bdot(x_lo, tt_hi)
+    return jnp.dot(x, tt_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def weighted_square_rows(y, b, ch, B, w_list):
+    """Channel-weighted squared energy: (b*ch, B) -> (b, B)."""
+    yc = y.reshape(b, ch, B)
+    z = jnp.zeros((b, B), jnp.float32)
+    for c in range(ch):
+        if w_list[c] == 0.0:
+            continue
+        z = z + w_list[c] * (yc[:, c] * yc[:, c])
+    return z
+
+
 def _energy_kernel_factory(b, ch, weights, kpg, B):
     """kpg = IIR blocks per grid step. The state recurrence serialises the
     grid, so per-step overhead (grid bookkeeping + DMA latency) dominates
@@ -116,24 +160,9 @@ def _energy_kernel_factory(b, ch, weights, kpg, B):
         j = pl.program_id(0)
         s = s_scratch[:]
         wt, ot, ab = wt_ref[:], ot_ref[:], ab_ref[:]
-        if mode == "bf16x2":
-            tt_hi = tt_ref[:].astype(jnp.bfloat16)
-            tt_lo = ttlo_ref[:].astype(jnp.bfloat16)
-        else:
-            tt = tt_ref[:]
         for i in range(kpg):
             x = x_ref[:, i * B: (i + 1) * B]  # (b*ch, B)
-            if mode == "bf16x2":
-                x_hi = x.astype(jnp.bfloat16)
-                x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-                def bdot(a_, b_):
-                    return jnp.dot(a_, b_, preferred_element_type=jnp.float32)
-
-                y0 = bdot(x_hi, tt_hi) + bdot(x_hi, tt_lo) + bdot(x_lo, tt_hi)
-            else:
-                y0 = jnp.dot(x, tt, preferred_element_type=jnp.float32,
-                             precision=hiP)
+            y0 = toeplitz_dot(x, tt_ref, ttlo_ref, mode)
             y = y0 + jnp.dot(s, ot, preferred_element_type=jnp.float32,
                              precision=hiP)
             s = (
@@ -146,12 +175,7 @@ def _energy_kernel_factory(b, ch, weights, kpg, B):
                 jax.lax.broadcasted_iota(jnp.int32, (b, B), 1)
                 + (j * kpg + i) * B
             )
-            yc = y.reshape(b, ch, B)
-            z = jnp.zeros((b, B), jnp.float32)
-            for c in range(ch):
-                if w_list[c] == 0.0:
-                    continue
-                z = z + w_list[c] * (yc[:, c] * yc[:, c])
+            z = weighted_square_rows(y, b, ch, B, w_list)
             z_ref[:, i * B: (i + 1) * B] = jnp.where(col < nv_ref[:], z, 0.0)
         s_scratch[:] = s
 
@@ -176,14 +200,8 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
     n_state = bf_Wt.shape[1]
     x2 = x.reshape(b * ch, n)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
-    # blocks per grid step: the largest divisor of nb whose double-buffered
-    # x+z tiles stay within a conservative VMEM budget
-    vmem_cap = 8 << 20
-    kpg = 1
-    for k in range(min(nb, 32), 1, -1):
-        if nb % k == 0 and (b * ch + b) * k * B * 4 * 2 <= vmem_cap:
-            kpg = k
-            break
+    # blocks per grid step: double-buffered x+z tile bytes
+    kpg = pick_kpg(nb, (b * ch + b) * B * 4 * 2)
     kernel = _energy_kernel_factory(b, ch, weights, kpg, B)
     # residual of the Toeplitz after bf16 truncation (the bf16x2 split's
     # low term); costs one extra (B, B) constant in VMEM
@@ -253,35 +271,15 @@ def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns):
                       precision=hiP)
         )
 
-        if mode == "bf16x2":
-            tt_hi = tt_ref[:].astype(jnp.bfloat16)
-            tt_lo = ttlo_ref[:].astype(jnp.bfloat16)
-        else:
-            tt = tt_ref[:]
         for i in range(kpg):
             xi = x[:, i * B: (i + 1) * B]
-            if mode == "bf16x2":
-                x_hi = xi.astype(jnp.bfloat16)
-                x_lo = (xi - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-                def bdot(a_, b_):
-                    return jnp.dot(a_, b_, preferred_element_type=jnp.float32)
-
-                y0 = bdot(x_hi, tt_hi) + bdot(x_hi, tt_lo) + bdot(x_lo, tt_hi)
-            else:
-                y0 = jnp.dot(xi, tt, preferred_element_type=jnp.float32,
-                             precision=hiP)
+            y0 = toeplitz_dot(xi, tt_ref, ttlo_ref, mode)
             y = y0 + y_state[:, i * B: (i + 1) * B]
             col = (
                 jax.lax.broadcasted_iota(jnp.int32, (b, B), 1)
                 + (j * kpg + i) * B
             )
-            yc = y.reshape(b, ch, B)
-            z = jnp.zeros((b, B), jnp.float32)
-            for c in range(ch):
-                if w_list[c] == 0.0:
-                    continue
-                z = z + w_list[c] * (yc[:, c] * yc[:, c])
+            z = weighted_square_rows(y, b, ch, B, w_list)
             z_ref[:, i * B: (i + 1) * B] = jnp.where(col < nv_ref[:], z, 0.0)
 
     return kernel
@@ -317,12 +315,7 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     x2 = x.reshape(rows, n)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
 
-    vmem_cap = 8 << 20
-    kpg = 1
-    for k in range(min(nb, 32), 1, -1):
-        if nb % k == 0 and (rows + b) * k * B * 4 * 2 <= vmem_cap:
-            kpg = k
-            break
+    kpg = pick_kpg(nb, (rows + b) * B * 4 * 2)
 
     # per-block advance is A_pows[B] (the table is indexed by SAMPLES);
     # its block powers k = 0..kpg as right-multiplying transposes

@@ -129,7 +129,7 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
                 sem_tile.at[slot_, 0],
             ).wait()
             pltpu.make_async_copy(
-                l_hbm.at[0, pl.ds(0, TILE_ROWS), :], tile_r.at[slot_],
+                r_hbm.at[0, pl.ds(0, TILE_ROWS), :], tile_r.at[slot_],
                 sem_tile.at[slot_, 1],
             ).wait()
 
@@ -160,7 +160,7 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
                 sem_win.at[w_],
             ).wait()
             pltpu.make_async_copy(
-                tile_l.at[slot, pl.ds(0, N1), :], win_r.at[w_],
+                tile_r.at[slot, pl.ds(0, N1), :], win_r.at[w_],
                 sem_win.at[wchunk + w_],
             ).wait()
 

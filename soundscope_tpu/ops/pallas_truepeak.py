@@ -157,13 +157,10 @@ def true_peak_pallas(x, n_valid, rate: int, interpret: bool = False):
     nblocks = n // blk
 
     rt = _row_tile(rows)
-    # sub-blocks per grid step, within a conservative VMEM budget
-    vmem_cap = 8 << 20
-    kpg = 1
-    for k in range(min(nblocks, 24), 1, -1):
-        if nblocks % k == 0 and rt * k * blk * 4 * 3 <= vmem_cap:
-            kpg = k
-            break
+    # sub-blocks per grid step (x tile + shifted copies + prev scratch)
+    from soundscope_tpu.ops.pallas_iir import pick_kpg
+
+    kpg = pick_kpg(nblocks, rt * blk * 4 * 3, kmax=24)
     nsteps = nblocks // kpg
     kernel, ctx = _make_kernel(factor, nsteps, rt, blk, kpg)
     tp, sp = pl.pallas_call(

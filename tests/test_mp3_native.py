@@ -829,6 +829,55 @@ def test_8khz_mixed_blocks(tmp_path):
         compare(g, bits, f"random {trial} sc={sc}", tol=1e-3)
 
 
+def test_8khz_mixed_joint_stereo(tmp_path):
+    """8 kHz mixed blocks in joint stereo: the mixed long region in
+    stereo processing spans 3*ssfb[3] = 72 lines (it was hardcoded to
+    36, silently skipping lines 36-71). Intensity-only frames match
+    mpg123 exactly; for MS+IS the references themselves disagree on
+    short bands past window 0 (libav agrees with this decoder, mpg123
+    applies MS there), so that part pins against libav."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    bridge = _bridge()
+    _rig_path()
+    import frames_lsf as FL
+    from extract_d import count1b_impulse_bits
+    from frames_lsf import LsfGranule
+
+    def is_mixed_bits(sc):
+        isc = sc >> 1
+        sl = [isc // 36, (isc % 36) // 6, isc % 6]
+        return sum(s * r for s, r in zip(sl, [6, 15, 12]))
+
+    sc = 2
+    nb = is_mixed_bits(sc)
+    for mode_ext in (1, 3):
+        Z = FL.lsf_stereo_zero_frame(8000, 1, mode_ext)
+        for ln in (20, 40, 55, 70, 85, 100):
+            bits = count1b_impulse_bits(ln)
+            g0 = LsfGranule(part2_3_length=len(bits), window_switching=True,
+                            block_type=2, mixed_block=1,
+                            count1table_select=1)
+            g1 = LsfGranule(part2_3_length=nb, window_switching=True,
+                            block_type=2, mixed_block=1,
+                            scalefac_compress=sc)
+            frames = [Z, FL.make_lsf_stereo_frame(
+                8000, [g0, g1], [bits, "0" * nb], 1, mode_ext), Z]
+            p = str(tmp_path / "ms8.mp3")
+            with open(p, "wb") as f:
+                f.write(b"".join(frames))
+            mine = np.asarray(nat.decode_mp3(p).samples)
+            if mode_ext == 1 or ln < 72:
+                ref = np.atleast_2d(oracle.decode_frames_mpg123(
+                    frames, rate=8000, channels=2))
+            else:
+                ref = np.asarray(nat.decode_any(p).samples)
+            n = min(mine.shape[1], ref.shape[1])
+            assert n > 0
+            err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+            assert err < 1e-4, (mode_ext, ln, err)
+
+
 def test_count1_overrun_drop(tmp_path):
     """A count1 quad whose value/sign reads cross part2_3_end: the
     references themselves disagree (mpg123 keeps the quad, reading its
