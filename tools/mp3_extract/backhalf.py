@@ -58,48 +58,6 @@ def freq_invert(ts: np.ndarray) -> np.ndarray:
     return out
 
 
-# Short-window IMDCT (12-point) and its sine window; mixed-block
-# assembly mirrors the decoder: subbands 0-1 long (normal window),
-# subbands 2+ short, alias butterflies only across the 0|1 boundary.
-_I12 = np.arange(12)[:, None]
-_K6 = np.arange(6)[None, :]
-IMDCT12 = np.cos(np.pi / 24.0 * (2 * _I12 + 1 + 6) * (2 * _K6 + 1))
-WIN_SHORT = np.sin(np.pi / 12.0 * (np.arange(12) + 0.5))
-
-
-def alias_reduce_bounds(xr: np.ndarray, bounds: int) -> np.ndarray:
-    x = xr.copy()
-    for sb in range(1, bounds + 1):
-        for i in range(8):
-            lo, up = 18 * sb - 1 - i, 18 * sb + i
-            a, b = x[lo], x[up]
-            x[lo] = a * CS[i] - b * CA[i]
-            x[up] = b * CS[i] + a * CA[i]
-    return x
-
-
-def imdct_granule_mixed(xr: np.ndarray, overlap: np.ndarray):
-    """Mixed-block IMDCT/window/overlap for one granule.
-
-    xr[576] in the hybrid layout (subband sb holds lines [18sb, 18sb+18),
-    short subbands window-interleaved in 6-chunks). Returns
-    (timesamples [32, 18], new_overlap [32, 18])."""
-    X = xr.reshape(32, 18)
-    out = np.empty((32, 18))
-    newov = np.empty((32, 18))
-    for sb in range(32):
-        if sb < 2:
-            z = (IMDCT36 @ X[sb]) * WIN_LONG
-        else:
-            z = np.zeros(36)
-            for w in range(3):
-                zz = (IMDCT12 @ X[sb][w * 6:(w + 1) * 6]) * WIN_SHORT
-                z[6 + 6 * w: 18 + 6 * w] += zz
-        out[sb] = z[:18] + overlap[sb]
-        newov[sb] = z[18:]
-    return out, newov
-
-
 class Synth:
     """Polyphase synthesis filterbank with a parametric window D[512]."""
 
