@@ -74,10 +74,10 @@ def analyze_batch_native(cfg: MeterConfig):
             # fused: filter + mask + weighted-square + channel-sum in one
             # Pallas pass; y never touches HBM
             from soundscope_tpu.ops.pallas_iir import (
-                kweight_energy_pallas_prefix,
+                kweight_energy_pallas_auto,
             )
 
-            z = kweight_energy_pallas_prefix(
+            z = kweight_energy_pallas_auto(
                 bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
                 samples, n_valid, w_tuple,
             )

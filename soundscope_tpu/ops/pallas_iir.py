@@ -379,6 +379,27 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     return z
 
 
+def kweight_energy_pallas_auto(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
+                               weights, interpret=False):
+    """Pick the energy kernel by shape: the blocked-prefix variant wins
+    when several blocks share a grid step (its per-step prefix matmuls
+    amortise), but at kpg == 1 — e.g. the 1000-track library scan,
+    whose nb has no small divisors within the VMEM budget — it is pure
+    overhead over the sequential chain (measured 180 ms vs 146 ms per
+    scan), so fall back to the sequential kernel there."""
+    b, ch, n = x.shape
+    B = bf_Tt.shape[0]
+    nb = n // B
+    kpg = pick_kpg(nb, (b * ch + b) * B * 4 * 2)
+    if kpg >= 4:
+        return kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows,
+                                            x, n_valid, weights,
+                                            interpret=interpret)
+    return kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot,
+                                 jnp.transpose(A_pows[B]), x, n_valid,
+                                 weights, interpret=interpret)
+
+
 def block_iir_pallas(bf: BlockFilter, x: jnp.ndarray, interpret: bool = False):
     """Zero-initial-state filtering of (..., N) with N % block == 0.
 
