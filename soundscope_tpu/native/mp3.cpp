@@ -761,8 +761,11 @@ static void stereo_process(const Header& h, const GrInfo& gright,
       if (xr[i] != 0.0f) { bound = i + 1; break; }
     for (int band = 0; band < 22; band++) {
       bool intensity = lsfb[band] >= bound;
+      // the last band has no transmitted scalefactor; it inherits the
+      // previous band's is_pos (measured on mpg123, MPEG-1 and LSF)
+      int ip = sfr.l[band < 21 ? band : 20];
       for (int i = lsfb[band]; i < lsfb[band + 1]; i++)
-        apply_pair(i, intensity, sfr.l[band]);
+        apply_pair(i, intensity, ip);
     }
   } else {
     // frequency-order spectra (reorder_short runs after this): per
@@ -788,7 +791,8 @@ static void stereo_process(const Header& h, const GrInfo& gright,
         bool zero = true;
         for (int L = lo; L < hi; L++)
           if (xr[3 * L + w] != 0.0f) { zero = false; break; }
-        int is_pos = band < 12 ? sfr.s[band][w] : 7;
+        // band 12 inherits band 11's is_pos (measured; not a sentinel)
+        int is_pos = sfr.s[band < 12 ? band : 11][w];
         for (int L = lo; L < hi; L++)
           apply_pair(3 * L + w, zero, is_pos);
       }

@@ -764,6 +764,71 @@ def _quad_bits(values):
     return "".join(out)
 
 
+def test_intensity_last_band_inherits(tmp_path):
+    """The last scalefactor band (long 21, short 12) has no transmitted
+    intensity position; measured against mpg123 (MPEG-1 and LSF alike)
+    it INHERITS the previous band's is_pos rather than acting as a
+    sentinel. Needs full-spectrum coverage (576 lines of +1) to reach
+    the tail bands."""
+    nat = _native_mp3()
+    oracle = _mpg123()
+    _rig_path()
+    import frames_lsf as FL
+    from frames import GranuleSpec
+    from frames_lsf import LsfGranule
+    from frames_stereo import make_stereo_frame, zero_stereo_frame
+
+    ones = ("0000" + "0000") * 144
+    rng = np.random.default_rng(7)
+
+    # MPEG-1: long with band20 nonzero, short with band-11 values
+    g0 = GranuleSpec(part2_3_length=len(ones), count1table_select=1)
+    cases = [
+        (GranuleSpec(part2_3_length=10, scalefac_compress=1),
+         "0" * 9 + "1"),
+        (GranuleSpec(part2_3_length=18, scalefac_compress=1,
+                     window_switching=True, block_type=2),
+         "".join(rng.choice(["0", "1"]) for _ in range(18))),
+    ]
+    for g1, bits in cases:
+        frames = [zero_stereo_frame(1, 1),
+                  make_stereo_frame([[g0, g1], [GranuleSpec(),
+                                                GranuleSpec()]],
+                                    [[ones, bits], ["", ""]], mode=1,
+                                    mode_ext=1),
+                  zero_stereo_frame(1, 1)]
+        p = str(tmp_path / "m1.mp3")
+        with open(p, "wb") as f:
+            f.write(b"".join(frames))
+        mine = np.asarray(nat.decode_mp3(p).samples)
+        ref = np.atleast_2d(oracle.decode_frames_mpg123(frames, rate=48000,
+                                                        channels=2))
+        n = min(mine.shape[1], ref.shape[1])
+        err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
+        assert err < 1e-3, err
+
+    # LSF: long and short granules with full-spectrum left channel
+    Z = FL.lsf_stereo_zero_frame(24000)
+    lg0 = LsfGranule(part2_3_length=len(ones), count1table_select=1)
+    for sc, n, short in ((2, 7, False), (10, 35, False), (2, 12, True),
+                         (10, 60, True)):
+        bits = "".join(rng.choice(["0", "1"]) for _ in range(n))
+        g1 = LsfGranule(part2_3_length=n, scalefac_compress=sc,
+                        window_switching=short,
+                        block_type=2 if short else 0)
+        fr = FL.make_lsf_stereo_frame(24000, [lg0, g1], [ones, bits], 1, 1)
+        frames = [Z, fr, Z]
+        p = str(tmp_path / "lsf.mp3")
+        with open(p, "wb") as f:
+            f.write(b"".join(frames))
+        mine = np.asarray(nat.decode_mp3(p).samples)
+        ref = np.atleast_2d(oracle.decode_frames_mpg123(frames, rate=24000,
+                                                        channels=2))
+        nn = min(mine.shape[1], ref.shape[1])
+        err = float(np.max(np.abs(mine[:, :nn] - ref[:, :nn])))
+        assert err < 1e-3, (sc, short, err)
+
+
 def test_8khz_mixed_blocks(tmp_path):
     """MPEG-2.5 8 kHz mixed blocks: the long band table spans 72 lines
     while the hybrid long region holds 36. Measured against mpg123
