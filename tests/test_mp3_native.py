@@ -943,6 +943,36 @@ def test_8khz_mixed_joint_stereo(tmp_path):
             assert err < 1e-4, (mode_ext, ln, err)
 
 
+def test_empty_granule_intensity_pins_libav(tmp_path):
+    """A zero-length (part2_3_length == 0) right-channel granule in an
+    intensity frame: mpg123's empty-granule special case leaves its
+    last band in a different state than the normal scalefactor path;
+    libav decodes it exactly like this decoder (copy with the shared
+    scalefactors, last band inheriting). Pin against libav."""
+    nat = _native_mp3()
+    _bridge()
+    _rig_path()
+    from frames import GranuleSpec
+    from frames_stereo import make_stereo_frame, zero_stereo_frame
+
+    ones = ("0000" + "0000") * 144
+    g0 = GranuleSpec(part2_3_length=len(ones), count1table_select=1)
+    s0 = GranuleSpec(part2_3_length=10, scalefac_compress=1)
+    s1 = GranuleSpec(part2_3_length=0, scalefac_compress=1)
+    frames = [zero_stereo_frame(1, 1),
+              make_stereo_frame([[g0, s0], [g0, s1]],
+                                [[ones, "1" * 10], [ones, ""]],
+                                mode=1, mode_ext=1, scfsi=(0, 15)),
+              zero_stereo_frame(1, 1)]
+    p = str(tmp_path / "eg.mp3")
+    with open(p, "wb") as f:
+        f.write(b"".join(frames))
+    mine = np.asarray(nat.decode_mp3(p).samples)
+    ref = np.asarray(nat.decode_any(p).samples)
+    n = min(mine.shape[1], ref.shape[1])
+    assert float(np.max(np.abs(mine[:, :n] - ref[:, :n]))) < 1e-3
+
+
 def test_count1_overrun_drop(tmp_path):
     """A count1 quad whose value/sign reads cross part2_3_end: the
     references themselves disagree (mpg123 keeps the quad, reading its
