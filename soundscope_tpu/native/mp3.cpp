@@ -1188,7 +1188,9 @@ struct Decoder {
           size_t end = start + g.part2_3_length;
           if (end > b.nbits) { ok = false; break; }
           int preflag = g.preflag;
-          if (hdr.lsf && ch == 1 && hdr.mode == 1 && (hdr.mode_ext & 1))
+          bool lsf_is = hdr.lsf && ch == 1 && hdr.mode == 1 &&
+                        (hdr.mode_ext & 1);
+          if (lsf_is)
             read_scalefactors_lsf_is(b, g, &sf[gr][ch], &preflag);
           else if (hdr.lsf)
             read_scalefactors_lsf(b, g, &sf[gr][ch], &preflag);
