@@ -140,14 +140,11 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
 
 def _enable_compile_cache():
     """Persistent compilation cache: first-compile through the TPU tunnel
-    costs minutes; repeat runs should not pay it again."""
-    import jax
+    costs minutes; repeat runs should not pay it again. Shared policy
+    with every other entry point (soundscope_tpu.core)."""
+    from soundscope_tpu.core import enable_compile_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 def main():
@@ -191,6 +188,19 @@ def main():
     out = run(xd, nd)
     jax.block_until_ready(out)
     log(f"single synced iter: {(time.time() - t0) * 1e3:.1f} ms")
+
+    if "--profile" in sys.argv:
+        # xprof trace of a few steady-state iterations (SURVEY §5:
+        # profiler hooks); view with tensorboard --logdir DIR
+        from soundscope_tpu.utils.metrics import profile_trace
+
+        prof_dir = sys.argv[sys.argv.index("--profile") + 1]
+        with profile_trace(prof_dir):
+            acc = jnp.float32(0.0)
+            for _ in range(3):
+                acc = acc + reduce_all(run(xd, nd))
+            float(acc)
+        log(f"xprof trace written to {prof_dir}")
 
     inner = 8
     best = float("inf")

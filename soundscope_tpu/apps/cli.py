@@ -156,13 +156,26 @@ def _print_table(rows: list[dict]) -> None:
 
 
 def cmd_analyze(args) -> int:
+    import contextlib
+
     spec_dir = getattr(args, "spectrogram", None)
     if spec_dir:
         os.makedirs(spec_dir, exist_ok=True)
     tl_dir = getattr(args, "timeline", None)
     if tl_dir:
         os.makedirs(tl_dir, exist_ok=True)
-    rows = _analyze_paths(args.files, spectrogram_dir=spec_dir, timeline_dir=tl_dir)
+    prof_dir = getattr(args, "profile", None)
+    if prof_dir:
+        from soundscope_tpu.utils.metrics import profile_trace
+
+        prof_ctx = profile_trace(prof_dir)
+    else:
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        rows = _analyze_paths(args.files, spectrogram_dir=spec_dir,
+                              timeline_dir=tl_dir)
+    if prof_dir:
+        print(f"xprof trace written to {prof_dir}", file=sys.stderr)
     if args.json:
         print(json.dumps(rows, indent=None if args.compact else 2))
     else:
@@ -235,6 +248,9 @@ def _normalize_argv(argv: list[str]) -> list[str]:
 
 
 def main(argv=None) -> int:
+    from soundscope_tpu.core import enable_compile_cache
+
+    enable_compile_cache()
     argv = _normalize_argv(sys.argv[1:] if argv is None else argv)
     ap = argparse.ArgumentParser(
         prog="soundscope-tpu",
@@ -253,6 +269,8 @@ def main(argv=None) -> int:
                    help="also write momentary/short-term timelines (.loudness.npz)")
     a.add_argument("--metrics", action="store_true",
                    help="print per-op RT-factor metrics JSON on stderr")
+    a.add_argument("--profile", metavar="DIR",
+                   help="write an xprof trace of the analysis to DIR")
     a.set_defaults(fn=cmd_analyze)
 
     s = sub.add_parser("scan", help="recursively analyze a directory")
@@ -263,6 +281,8 @@ def main(argv=None) -> int:
                    help="also write momentary/short-term timelines (.loudness.npz)")
     s.add_argument("--metrics", action="store_true",
                    help="print per-op RT-factor metrics JSON on stderr")
+    s.add_argument("--profile", metavar="DIR",
+                   help="write an xprof trace of the analysis to DIR")
     s.set_defaults(fn=cmd_scan)
 
     t = sub.add_parser("tui", help="interactive TUI (reference-compatible)")

@@ -1,3 +1,25 @@
 from soundscope_tpu.core import constants  # noqa: F401
 from soundscope_tpu.core.config import MeterConfig  # noqa: F401
 from soundscope_tpu.core.state import MeterState  # noqa: F401
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Point JAX at a persistent compilation cache.
+
+    First compile through the TPU tunnel costs tens of seconds; every
+    entry point (CLI, TUI, bench, conformance tool) shares this one
+    helper so a fresh process re-analyzing a same-shaped bucket skips
+    the recompile. Override the location with $SS_COMPILE_CACHE; safe to
+    call repeatedly and before/after jax initialises.
+    """
+    import os
+
+    import jax
+
+    try:
+        cache = path or os.environ.get(
+            "SS_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let observability plumbing break analysis
+        pass

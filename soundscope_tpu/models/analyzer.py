@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from soundscope_tpu.core import constants as C
+from soundscope_tpu.core import constants as C, enable_compile_cache
 from soundscope_tpu.core.config import MeterConfig
 from soundscope_tpu.core.state import init_meter_state
 from soundscope_tpu.models import meter as M
@@ -36,6 +36,11 @@ from soundscope_tpu.models.engine import analyze_array
 from soundscope_tpu.ops.decimate import waveform_points
 from soundscope_tpu.ops.midside import deinterleave
 from soundscope_tpu.ops.spectrum import spectrum_points
+
+# Every host that constructs an Analyzer (TUI, player, library code)
+# gets the persistent compile cache — recompiling a same-shaped program
+# in a fresh process costs ~90 s through the TPU tunnel.
+enable_compile_cache()
 
 
 @functools.lru_cache(maxsize=None)
@@ -104,9 +109,19 @@ class Analyzer:
         """Push interleaved f32 frames (length multiple of channels)."""
         x = jnp.asarray(np.asarray(interleaved, np.float32))
         planar = deinterleave(x, self._cfg.channels)
-        if planar.shape[-1] == 0:
+        n = int(planar.shape[-1])
+        if n == 0:
             return
-        self._state = _jitted_step(self._cfg)(self._state, planar)
+        step = _jitted_step(self._cfg)
+        # Feed at most 1 s per jitted call: meter_step unrolls its 100 ms
+        # sub-block loop n//h+1 times, so a single huge push (say a whole
+        # 60 s file) would otherwise trace an unbounded program. Slab
+        # boundaries are semantically invisible (chunk-boundary
+        # invariance is pinned by tests/test_meter_stream.py) and full
+        # slabs reuse one cached compile.
+        slab = self._cfg.rate
+        for i in range(0, n, slab):
+            self._state = step(self._state, planar[:, i:i + slab])
 
     # -- queries ---------------------------------------------------------------
 

@@ -7,6 +7,7 @@ Build (also done automatically on first import):
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -14,10 +15,12 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libssnative.so")
+_ARCH_STAMP = _SO + ".arch"
 _lib = None
 
 
-_SOURCES = ("decoder.cpp", "flac.cpp", "mp3.cpp", "codecs.cpp")
+_SOURCES = ("decoder.cpp", "flac.cpp", "mp3.cpp", "codecs.cpp",
+            "alac.cpp", "vorbis.cpp")
 
 
 def _libav_headers() -> bool:
@@ -28,28 +31,70 @@ def _libav_headers() -> bool:
     )
 
 
+def _arch_sig() -> str:
+    """Fingerprint of what -march=native resolves to on this host, so a
+    cached .so carried to a different CPU (NFS home, container image)
+    forces a rebuild instead of SIGILLing at load time."""
+    try:
+        out = subprocess.run(
+            ["g++", "-march=native", "-E", "-v", "-", "-o", os.devnull],
+            input=b"", capture_output=True, check=True,
+        ).stderr
+        march = b"\n".join(l for l in out.splitlines() if b"-march=" in l)
+        return hashlib.sha1(march).hexdigest()[:16]
+    except Exception:
+        return "unknown"
+
+
 def build(force: bool = False) -> str:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     newest = max(os.path.getmtime(s) for s in srcs)
-    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
+    sig = _arch_sig()
+    stale_arch = True
+    try:
+        with open(_ARCH_STAMP) as f:
+            stale_arch = f.read().strip() != sig
+    except OSError:
+        pass
+    if (force or not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < newest or stale_arch):
         # -ffast-math: the decode paths are FIR/IMDCT float chains with
         # no NaN/Inf semantics to preserve; measured 11% faster MP3
         # decode with ~7e-7 output change (validated by the oracle
-        # test suite at 2e-5 tolerance)
-        base = ["g++", "-O3", "-march=native", "-funroll-loops",
-                "-ffast-math", "-shared", "-fPIC", "-std=c++17",
-                *srcs, "-o", _SO]
-        if _libav_headers():
+        # test suite at 2e-5 tolerance).  It is applied at COMPILE only:
+        # linking a shared object with -ffast-math on GCC<=12 pulls in
+        # crtfastmath.o, whose constructor sets FTZ/DAZ process-wide the
+        # moment ctypes dlopens the library.
+        cflags = ["-O3", "-march=native", "-funroll-loops",
+                  "-ffast-math", "-fPIC", "-std=c++17"]
+        for want_libav in ([True] if _libav_headers() else []) + [False]:
+            defs = ["-DSS_HAVE_LIBAV"] if want_libav else []
+            libs = (["-lavformat", "-lavcodec", "-lavutil", "-lswresample"]
+                    if want_libav else [])
+            objs = []
             try:
-                subprocess.run(
-                    base[:1] + ["-DSS_HAVE_LIBAV"] + base[1:]
-                    + ["-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
-                    check=True, capture_output=True,
-                )
-                return _SO
-            except subprocess.CalledProcessError:
-                pass  # fall back to a codec-bridge-less build
-        subprocess.run(base, check=True)
+                for s in srcs:
+                    o = os.path.join(
+                        _DIR, os.path.splitext(os.path.basename(s))[0] + ".o")
+                    subprocess.run(["g++", *cflags, *defs, "-c", s, "-o", o],
+                                   check=True, capture_output=True)
+                    objs.append(o)
+                subprocess.run(["g++", "-shared", *objs, "-o", _SO, *libs],
+                               check=True, capture_output=True)
+            except subprocess.CalledProcessError as e:
+                if not want_libav:
+                    raise RuntimeError(
+                        "native build failed:\n" + e.stderr.decode()) from e
+                continue  # retry without the libav codec bridge
+            finally:
+                for o in objs:
+                    try:
+                        os.remove(o)
+                    except OSError:
+                        pass
+            with open(_ARCH_STAMP, "w") as f:
+                f.write(sig)
+            break
     return _SO
 
 

@@ -1158,20 +1158,25 @@ struct Decoder {
     size_t off = 4 + (hdr.crc ? 2 : 0);
     size_t side_bytes = hdr.lsf ? (hdr.channels == 1 ? 9u : 17u)
                                  : (hdr.channels == 1 ? 17u : 32u);
-    if (n < off + side_bytes) return false;
+    size_t frame_base = pcm[0].size();
+    if (n < off + side_bytes) {
+      // too short even for the side info: pad silence so time stays
+      // aligned; there are no main-data bytes to feed the reservoir
+      for (int ch = 0; ch < hdr.channels; ch++)
+        pcm[ch].resize(frame_base + hdr.samples, 0.0f);
+      return false;
+    }
     Bits sb(fr + off, side_bytes);
     SideInfo si;
-    if (!read_side_info(sb, hdr, &si)) return false;
+    bool ok = read_side_info(sb, hdr, &si);
 
     const uint8_t* main = fr + off + side_bytes;
     size_t main_len = n - off - side_bytes;
 
-    bool ok = true;
-    if ((size_t)si.main_data_begin > reservoir.size()) {
+    if (ok && (size_t)si.main_data_begin > reservoir.size()) {
       ok = false;  // reservoir not filled yet (stream start / seek)
     }
 
-    size_t frame_base = pcm[0].size();
     if (ok) {
       std::vector<uint8_t> data(reservoir.end() - si.main_data_begin,
                                 reservoir.end());

@@ -94,6 +94,35 @@ def pick_kpg(nblocks: int, bytes_per_block: int, kmax: int = 32,
     return 1
 
 
+def _prefix_footprint(k, rows, b, B, ns) -> int:
+    """Total VMEM bytes the blocked-prefix kernel needs at kpg=k: the
+    double-buffered x/z tiles PLUS the broadcast constants (wt_big and
+    ot_big grow O(k^2), ~3.3 MB each at k=25/B=512/ns=4) and the
+    (rows, k*B) y_state intermediate — the tile-only estimate undercounts
+    by >2x at large k."""
+    tile = (rows + b) * k * B * 4 * 2          # x in + z out, double-buffered
+    const = (2 * k * B * k * ns                # wt_big + ot_big
+             + (k * ns) ** 2                   # t_big
+             + (2 * k + 1) * ns * ns           # p_big + tend + ab_k
+             + 2 * B * B) * 4                  # tt + tt_lo
+    inter = rows * k * B * 4                   # y_state
+    return tile + const + inter
+
+
+def pick_kpg_prefix(nb: int, rows: int, b: int, B: int, ns: int,
+                    kmax: int = 32, vmem_cap: int = 14 << 20) -> int:
+    """kpg for the blocked-prefix energy kernel: largest divisor of nb
+    whose FULL footprint (tiles + block-diagonal constants +
+    intermediates) fits the ~16 MB/core VMEM with headroom. The bench
+    shape (rows=64, b=32, B=512, nb=5625) picks 15 (~13.0 MiB), same as
+    the tile-only policy — but shapes whose constants blow the budget now
+    step down instead of failing Mosaic allocation."""
+    for k in range(min(nb, kmax), 1, -1):
+        if nb % k == 0 and _prefix_footprint(k, rows, b, B, ns) <= vmem_cap:
+            return k
+    return 1
+
+
 def toeplitz_dot(x, tt_ref, ttlo_ref, mode):
     """The kernels' Toeplitz product. f32 operands force Mosaic's 6-pass
     MXU sequence regardless of `precision` (measured: DEFAULT ==
@@ -315,7 +344,7 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     x2 = x.reshape(rows, n)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
 
-    kpg = pick_kpg(nb, (rows + b) * B * 4 * 2)
+    kpg = pick_kpg_prefix(nb, rows, b, B, ns)
 
     # per-block advance is A_pows[B] (the table is indexed by SAMPLES);
     # its block powers k = 0..kpg as right-multiplying transposes
@@ -390,7 +419,7 @@ def kweight_energy_pallas_auto(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     b, ch, n = x.shape
     B = bf_Tt.shape[0]
     nb = n // B
-    kpg = pick_kpg(nb, (b * ch + b) * B * 4 * 2)
+    kpg = pick_kpg_prefix(nb, b * ch, b, B, bf_Wt.shape[1])
     if kpg >= 4:
         return kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows,
                                             x, n_valid, weights,

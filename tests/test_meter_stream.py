@@ -117,3 +117,26 @@ def test_zero_state_queries():
     assert float(M.shortterm_lufs(cfg, s)) == -np.inf
     assert float(M.loudness_range_lu(cfg, s)) == 0.0
     assert float(np.asarray(M.true_peak_linear(s)).max()) == 0.0
+
+
+def test_single_huge_push_is_slabbed(rng):
+    """A 60 s push through the Analyzer facade must neither build a
+    60 s-unrolled program (meter_step unrolls n//h+1 sub-block steps)
+    nor change the result: the facade slabs internally at <= 1 s."""
+    from soundscope_tpu.models.analyzer import Analyzer
+
+    secs = 60
+    x = (rng.standard_normal((2, RATE * secs)) * 0.05).astype(np.float32)
+    interleaved = x.T.reshape(-1)
+
+    a = Analyzer(channels=2, rate=RATE)
+    a.add_samples(interleaved)
+
+    cfg = a.config
+    ref_state = _push_chunks(cfg, x, [RATE])
+    assert abs(a.get_integrated_lufs()
+               - float(M.integrated_lufs(cfg, ref_state))) < 1e-4
+    assert abs(a.get_shortterm_lufs()
+               - float(M.shortterm_lufs(cfg, ref_state))) < 1e-4
+    # the largest program traced is the 1 s slab, not the full push
+    assert int(a.state.frames_total) == RATE * secs
