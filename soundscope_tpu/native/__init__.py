@@ -20,7 +20,7 @@ _lib = None
 
 
 _SOURCES = ("decoder.cpp", "flac.cpp", "mp3.cpp", "codecs.cpp",
-            "alac.cpp", "vorbis.cpp")
+            "demux.cpp", "alac.cpp", "vorbis.cpp")
 
 
 def _libav_headers() -> bool:
@@ -122,6 +122,8 @@ def _load():
     lib.ss_decode_flac.restype = ctypes.c_int
     lib.ss_decode_mp3.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_mp3.restype = ctypes.c_int
+    lib.ss_decode_alac.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_alac.restype = ctypes.c_int
     lib.ss_decode_any.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_any.restype = ctypes.c_int
     lib.ss_codecs_available.restype = ctypes.c_int
@@ -203,6 +205,13 @@ class decoder:
         I/II/III at every MPEG-1/2/2.5 rate, including free-format,
         LSF intensity stereo, and 8 kHz mixed blocks."""
         return _decode_with("ss_decode_mp3", path, "MP3")
+
+    @staticmethod
+    def decode_alac(path: str):
+        """First-party ALAC decoder + MP4/CAF demux (native/alac.cpp,
+        demux.cpp); also unpacks CAF LPCM. AAC-in-MP4 returns an error
+        so the caller can fall back to the bridge."""
+        return _decode_with("ss_decode_alac", path, "ALAC/MP4/CAF")
 
     @staticmethod
     def decode_any(path: str):
