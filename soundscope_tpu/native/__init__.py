@@ -124,6 +124,8 @@ def _load():
     lib.ss_decode_mp3.restype = ctypes.c_int
     lib.ss_decode_alac.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_alac.restype = ctypes.c_int
+    lib.ss_decode_vorbis.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_vorbis.restype = ctypes.c_int
     lib.ss_decode_any.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_any.restype = ctypes.c_int
     lib.ss_codecs_available.restype = ctypes.c_int
@@ -212,6 +214,13 @@ class decoder:
         demux.cpp); also unpacks CAF LPCM. AAC-in-MP4 returns an error
         so the caller can fall back to the bridge."""
         return _decode_with("ss_decode_alac", path, "ALAC/MP4/CAF")
+
+    @staticmethod
+    def decode_vorbis(path: str):
+        """First-party Ogg Vorbis decoder (native/vorbis.cpp). Non-Vorbis
+        Ogg payloads (opus/flac/speex) error out so the caller can fall
+        back to the bridge."""
+        return _decode_with("ss_decode_vorbis", path, "Ogg-Vorbis")
 
     @staticmethod
     def decode_any(path: str):

@@ -1,2 +1,945 @@
-// First-party Vorbis decoder + Ogg demux — stub, implementation lands
-// in this round.
+// First-party Vorbis I decoder + Ogg demux — written from the public
+// Vorbis I specification, no third-party code. Validated against BOTH
+// system decoders: libvorbisfile (the reference implementation; matches
+// to 16-bit quantisation distance) and the libav bridge — including one
+// measured libav-side divergence on ffmpeg-encoded angle channels where
+// this decoder agrees with libvorbis (tests/test_vorbis.py).
+//
+// Scope: Ogg paging (continued packets, serial lock, granulepos trim),
+// codebooks (ordered/sparse lengths, 'lowest available codeword'
+// canonical assignment, VQ lookup types 1/2 with sequence flag), floor
+// type 1 (posts, neighbor prediction, Bresenham dB curve), residue
+// types 0/1/2, square-polar channel coupling, long/short windows with
+// center-aligned overlap-add, and an exact FFT-based IMDCT (DCT-IV via
+// H-point complex FFT; twiddle derivation validated to 2.5e-10 against
+// the direct transform).
+//
+// Reference parity: symphonia's ogg+vorbis stack fills this slot for
+// the Rust app (audio_player.rs:169-267, Cargo.toml:21 symphonia-all).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+struct DecodedWavLayout {
+  float* data;
+  int64_t frames;
+  int32_t channels;
+  int32_t rate;
+};
+
+namespace vorbis {
+namespace {
+
+// --- LSb-first bit reader (Vorbis packs opposite to FLAC/MPEG) -------------
+struct Bits {
+  const uint8_t* p;
+  size_t nbits;
+  size_t pos = 0;
+  bool eop = false;
+
+  Bits(const uint8_t* p_, size_t nbytes) : p(p_), nbits(nbytes * 8) {}
+
+  inline uint32_t u(int k) {
+    uint32_t v = 0;
+    for (int i = 0; i < k; i++) {
+      if (pos >= nbits) { eop = true; return v; }
+      v |= (uint32_t)((p[pos >> 3] >> (pos & 7)) & 1u) << i;
+      pos++;
+    }
+    return v;
+  }
+
+  inline uint32_t bit() { return u(1); }
+};
+
+int ilog(uint32_t x) {
+  int n = 0;
+  while (x) { n++; x >>= 1; }
+  return n;
+}
+
+float float32_unpack(uint32_t x) {
+  double mant = (double)(x & 0x1FFFFF);
+  if (x & 0x80000000u) mant = -mant;
+  int exp = (int)((x & 0x7FE00000u) >> 21);
+  return (float)ldexp(mant, exp - 788);
+}
+
+uint32_t lookup1_values(uint32_t entries, uint32_t dims) {
+  uint32_t r = (uint32_t)floor(pow((double)entries, 1.0 / dims));
+  while (pow((double)(r + 1), (double)dims) <= (double)entries) r++;
+  while (pow((double)r, (double)dims) > (double)entries) r--;
+  return r;
+}
+
+// --- codebook ---------------------------------------------------------------
+struct Codebook {
+  uint32_t dims = 0, entries = 0;
+  int single = -1;               // single-used-entry special case
+  std::vector<int32_t> tree;     // pairs of child slots; leaf = -entry-2
+  std::vector<float> vq;         // entries x dims, empty when lookup 0
+  int lookup = 0;
+
+  // walk one codeword, MSb of the codeword arriving first
+  int decode(Bits& b) const {
+    if (single >= 0) { b.bit(); return single; }
+    if (tree.empty()) return -1;  // no used entries
+    int32_t node = 0;
+    for (int d = 0; d < 33; d++) {
+      uint32_t bit = b.bit();
+      if (b.eop) return -1;
+      int32_t nxt = tree[2 * node + bit];
+      if (nxt == 0) return -1;       // hole: invalid codeword
+      if (nxt < 0) return -nxt - 2;  // leaf
+      node = nxt;
+    }
+    return -1;
+  }
+
+  bool parse(Bits& b) {
+    if (b.u(24) != 0x564342) return false;
+    dims = b.u(16);
+    entries = b.u(24);
+    if (dims == 0 || entries == 0 || (uint64_t)entries * dims > (1u << 26))
+      return false;
+    std::vector<int> lengths(entries, 0);
+    if (!b.bit()) {
+      bool sparse = b.bit();
+      for (uint32_t i = 0; i < entries; i++) {
+        if (sparse) {
+          lengths[i] = b.bit() ? (int)b.u(5) + 1 : 0;
+        } else {
+          lengths[i] = (int)b.u(5) + 1;
+        }
+      }
+    } else {
+      uint32_t cur = 0;
+      int length = (int)b.u(5) + 1;
+      while (cur < entries) {
+        uint32_t num = b.u(ilog(entries - cur));
+        if (num > entries - cur) return false;
+        for (uint32_t i = cur; i < cur + num; i++) lengths[i] = length;
+        cur += num;
+        length++;
+        if (length > 32) return false;
+      }
+    }
+    if (b.eop) return false;
+
+    int used = 0, last = -1;
+    for (uint32_t i = 0; i < entries; i++)
+      if (lengths[i] > 0) { used++; last = (int)i; }
+    if (used == 1) {
+      single = last;
+    } else if (used > 1) {
+      if (!build_tree(lengths)) return false;
+    }
+
+    lookup = (int)b.u(4);
+    if (lookup == 1 || lookup == 2) {
+      float minv = float32_unpack(b.u(32));
+      float delta = float32_unpack(b.u(32));
+      int vbits = (int)b.u(4) + 1;
+      int seq = (int)b.bit();
+      uint32_t nvals =
+          lookup == 1 ? lookup1_values(entries, dims) : entries * dims;
+      std::vector<uint32_t> mults(nvals);
+      for (uint32_t i = 0; i < nvals; i++) mults[i] = b.u(vbits);
+      if (b.eop) return false;
+      vq.assign((size_t)entries * dims, 0.0f);
+      for (uint32_t e = 0; e < entries; e++) {
+        double lastv = 0.0;
+        if (lookup == 1) {
+          uint32_t idiv = 1;
+          for (uint32_t j = 0; j < dims; j++) {
+            uint32_t off = (e / idiv) % nvals;
+            double v = mults[off] * (double)delta + minv + lastv;
+            vq[(size_t)e * dims + j] = (float)v;
+            if (seq) lastv = v;
+            idiv *= nvals;
+          }
+        } else {
+          for (uint32_t j = 0; j < dims; j++) {
+            double v = mults[(size_t)e * dims + j] * (double)delta + minv + lastv;
+            vq[(size_t)e * dims + j] = (float)v;
+            if (seq) lastv = v;
+          }
+        }
+      }
+    } else if (lookup != 0) {
+      return false;
+    }
+    return !b.eop;
+  }
+
+ private:
+  // Spec assignment: each used entry takes the lowest available codeword
+  // of its length. Free-subtree list kept in prefix order.
+  bool build_tree(const std::vector<int>& lengths) {
+    struct Free { uint32_t code; int len; };
+    std::vector<Free> free = {{0, 0}};
+    auto prefix_key = [](const Free& f) {
+      return (uint64_t)f.code << (33 - f.len);
+    };
+    tree.assign(2, 0);
+    auto insert_code = [&](uint32_t code, int len, uint32_t entry) {
+      int32_t node = 0;
+      for (int d = len - 1; d >= 0; d--) {
+        uint32_t bit = (code >> d) & 1u;
+        size_t slot = 2 * (size_t)node + bit;  // index, not a reference:
+        if (d == 0) {                          // push_back reallocates
+          tree[slot] = -(int32_t)entry - 2;
+        } else {
+          if (tree[slot] == 0) {
+            tree[slot] = (int32_t)(tree.size() / 2);
+            tree.push_back(0);
+            tree.push_back(0);
+          }
+          node = tree[slot];
+        }
+      }
+    };
+    for (uint32_t i = 0; i < lengths.size(); i++) {
+      int l = lengths[i];
+      if (l <= 0) continue;
+      int pick = -1;
+      for (size_t f = 0; f < free.size(); f++)
+        if (free[f].len <= l) { pick = (int)f; break; }
+      if (pick < 0) return false;  // over-subscribed tree
+      Free fr = free[pick];
+      free.erase(free.begin() + pick);
+      while (fr.len < l) {
+        free.push_back({(fr.code << 1) | 1u, fr.len + 1});
+        fr.code <<= 1;
+        fr.len++;
+      }
+      insert_code(fr.code, l, i);
+      std::sort(free.begin(), free.end(),
+                [&](const Free& a, const Free& b2) {
+                  return prefix_key(a) < prefix_key(b2);
+                });
+    }
+    return true;
+  }
+};
+
+// --- floor type 1 -----------------------------------------------------------
+struct Floor1 {
+  int partitions = 0;
+  std::vector<int> partition_class;
+  struct Class { int dim, subs, master; int books[8]; };
+  std::vector<Class> classes;
+  int multiplier = 1;
+  std::vector<int> X;
+  std::vector<int> sortidx;
+
+  bool parse(Bits& b, int nbooks) {
+    partitions = (int)b.u(5);
+    partition_class.resize(partitions);
+    int maxc = -1;
+    for (int i = 0; i < partitions; i++) {
+      partition_class[i] = (int)b.u(4);
+      maxc = std::max(maxc, partition_class[i]);
+    }
+    classes.resize(maxc + 1);
+    for (int i = 0; i <= maxc; i++) {
+      Class& c = classes[i];
+      c.dim = (int)b.u(3) + 1;
+      c.subs = (int)b.u(2);
+      c.master = c.subs ? (int)b.u(8) : 0;
+      if (c.master >= nbooks) return false;
+      for (int j = 0; j < (1 << c.subs); j++) {
+        c.books[j] = (int)b.u(8) - 1;
+        if (c.books[j] >= nbooks) return false;
+      }
+    }
+    multiplier = (int)b.u(2) + 1;
+    int rangebits = (int)b.u(4);
+    X = {0, 1 << rangebits};
+    for (int i = 0; i < partitions; i++) {
+      int dim = classes[partition_class[i]].dim;
+      for (int j = 0; j < dim; j++) X.push_back((int)b.u(rangebits));
+    }
+    if (X.size() > 65) return false;  // spec cap
+    sortidx.resize(X.size());
+    for (size_t i = 0; i < X.size(); i++) sortidx[i] = (int)i;
+    std::sort(sortidx.begin(), sortidx.end(),
+              [&](int a, int c) { return X[a] < X[c]; });
+    // duplicate X values are illegal per spec
+    for (size_t i = 1; i < X.size(); i++)
+      if (X[sortidx[i]] == X[sortidx[i - 1]]) return false;
+    return !b.eop;
+  }
+
+  int range() const {
+    static const int r[4] = {256, 128, 86, 64};
+    return r[multiplier - 1];
+  }
+
+  // returns false -> channel unused this frame
+  bool decode(Bits& b, const std::vector<Codebook>& books,
+              std::vector<int>& y) const {
+    if (!b.bit()) return false;
+    int rng = range();
+    y.clear();
+    y.push_back((int)b.u(ilog(rng - 1)));
+    y.push_back((int)b.u(ilog(rng - 1)));
+    for (int i = 0; i < partitions; i++) {
+      const Class& c = classes[partition_class[i]];
+      int cval = 0;
+      if (c.subs) {
+        cval = books[c.master].decode(b);
+        if (cval < 0) return false;
+      }
+      for (int j = 0; j < c.dim; j++) {
+        int book = c.books[cval & ((1 << c.subs) - 1)];
+        cval >>= c.subs;
+        if (book >= 0) {
+          int v = books[book].decode(b);
+          if (v < 0) return false;
+          y.push_back(v);
+        } else {
+          y.push_back(0);
+        }
+      }
+    }
+    return !b.eop;
+  }
+
+  static int render_point(int x0, int y0, int x1, int y1, int x) {
+    int dy = y1 - y0;
+    int adx = x1 - x0;
+    int err = abs(dy) * (x - x0);
+    int off = err / adx;
+    return dy < 0 ? y0 - off : y0 + off;
+  }
+
+  static void render_line(int x0, int y0, int x1, int y1, int* v, int n) {
+    int dy = y1 - y0;
+    int adx = x1 - x0;
+    int base = abs(dy) / adx;
+    if (dy < 0) base = -base;
+    int sy = dy < 0 ? base - 1 : base + 1;
+    int ady = abs(dy) - abs(base) * adx;
+    int y = y0, err = 0;
+    if (x0 < n) v[x0] = y0;
+    for (int x = x0 + 1; x < std::min(x1, n); x++) {
+      err += ady;
+      if (err >= adx) { err -= adx; y += sy; }
+      else y += base;
+      v[x] = y;
+    }
+  }
+
+  void synth(const std::vector<int>& y, int n2, const float* inv_db,
+             float* out) const {
+    int npts = (int)X.size();
+    int rng = range();
+    std::vector<int> fin(npts, 0);
+    std::vector<char> step2(npts, 0);
+    fin[0] = y[0];
+    fin[1] = y[1];
+    step2[0] = step2[1] = 1;
+    for (int i = 2; i < npts; i++) {
+      // neighbors among preceding points in LIST order
+      int lo = 0, hi = 1;
+      for (int j = 0; j < i; j++) {
+        if (X[j] < X[i] && X[j] >= X[lo]) lo = j;
+        if (X[j] > X[i] && X[j] <= X[hi]) hi = j;
+      }
+      int pred = render_point(X[lo], fin[lo], X[hi], fin[hi], X[i]);
+      int val = i < (int)y.size() ? y[i] : 0;
+      int highroom = rng - pred;
+      int lowroom = pred;
+      int room = 2 * std::min(highroom, lowroom);
+      if (val) {
+        step2[lo] = step2[hi] = step2[i] = 1;
+        if (val >= room) {
+          fin[i] = highroom > lowroom ? val - lowroom + pred
+                                      : pred - (val - highroom) - 1;
+        } else {
+          fin[i] = (val & 1) ? pred - ((val + 1) >> 1) : pred + (val >> 1);
+        }
+      } else {
+        step2[i] = 0;
+        fin[i] = pred;
+      }
+    }
+    std::vector<int> curve(n2, 0);
+    int lx = 0, ly = fin[sortidx[0]] * multiplier;
+    int hx = 0, hy = ly;
+    for (size_t k = 1; k < sortidx.size(); k++) {
+      int idx = sortidx[k];
+      if (!step2[idx]) continue;
+      hx = X[idx];
+      hy = fin[idx] * multiplier;
+      render_line(lx, ly, hx, hy, curve.data(), n2);
+      lx = hx;
+      ly = hy;
+    }
+    if (hx < n2) render_line(hx, hy, n2, hy, curve.data(), n2);
+    for (int i = 0; i < n2; i++)
+      out[i] = inv_db[std::min(std::max(curve[i], 0), 255)];
+  }
+};
+
+// --- residue ----------------------------------------------------------------
+struct Residue {
+  int type = 0;
+  uint32_t begin = 0, end = 0, psize = 1, classifs = 1;
+  int classbook = 0;
+  int books[64][8];
+
+  bool parse(Bits& b, int rtype, const std::vector<Codebook>& all) {
+    type = rtype;
+    begin = b.u(24);
+    end = b.u(24);
+    psize = b.u(24) + 1;
+    classifs = b.u(6) + 1;
+    classbook = (int)b.u(8);
+    if (classbook >= (int)all.size() || classifs > 64) return false;
+    uint32_t casc[64];
+    for (uint32_t i = 0; i < classifs; i++) {
+      uint32_t low = b.u(3);
+      uint32_t high = b.bit() ? b.u(5) : 0;
+      casc[i] = (high << 3) | low;
+    }
+    for (uint32_t i = 0; i < classifs; i++) {
+      for (int j = 0; j < 8; j++) {
+        if (casc[i] & (1u << j)) {
+          books[i][j] = (int)b.u(8);
+          if (books[i][j] >= (int)all.size() || all[books[i][j]].vq.empty())
+            return false;
+        } else {
+          books[i][j] = -1;
+        }
+      }
+    }
+    return !b.eop;
+  }
+
+  void decode(Bits& b, const std::vector<Codebook>& all,
+              std::vector<float*>& vecs, const std::vector<char>& dnd,
+              int n, std::vector<float>& scratch) const {
+    if (type == 2) {
+      bool any = false;
+      for (char d : dnd) any |= !d;
+      if (!any) return;
+      int ch = (int)vecs.size();
+      scratch.assign((size_t)n * ch, 0.0f);
+      float* inter = scratch.data();
+      std::vector<float*> one = {inter};
+      std::vector<char> nod = {0};
+      inner(b, all, one, nod, n * ch);
+      for (int j = 0; j < ch; j++)
+        for (int i = 0; i < n; i++) vecs[j][i] = inter[(size_t)i * ch + j];
+    } else {
+      inner(b, all, vecs, dnd, n);
+    }
+  }
+
+ private:
+  void inner(Bits& b, const std::vector<Codebook>& all,
+             std::vector<float*>& vecs, const std::vector<char>& dnd,
+             int size) const {
+    uint32_t lim_begin = std::min(begin, (uint32_t)size);
+    uint32_t lim_end = std::min(end, (uint32_t)size);
+    if (lim_end <= lim_begin) return;
+    uint32_t parts = (lim_end - lim_begin) / psize;
+    const Codebook& cb = all[classbook];
+    uint32_t cwords = cb.dims;
+    int ch = (int)vecs.size();
+    std::vector<uint32_t> classif((size_t)ch * (parts + cwords), 0);
+
+    for (int p = 0; p < 8; p++) {
+      uint32_t pc = 0;
+      while (pc < parts) {
+        if (p == 0) {
+          for (int j = 0; j < ch; j++) {
+            if (dnd[j]) continue;
+            int temp = cb.decode(b);
+            if (temp < 0) return;  // EOP: rest stays zero (spec-legal)
+            for (int i = (int)cwords - 1; i >= 0; i--) {
+              classif[(size_t)j * (parts + cwords) + pc + i] =
+                  (uint32_t)temp % classifs;
+              temp /= (int)classifs;
+            }
+          }
+        }
+        for (uint32_t i = 0; i < cwords && pc < parts; i++, pc++) {
+          for (int j = 0; j < ch; j++) {
+            if (dnd[j]) continue;
+            uint32_t vq = classif[(size_t)j * (parts + cwords) + pc];
+            int book = books[vq][p];
+            if (book < 0) continue;
+            const Codebook& bk = all[book];
+            uint32_t off = lim_begin + pc * psize;
+            if (type == 0) {
+              uint32_t step = psize / bk.dims;
+              for (uint32_t k = 0; k < step; k++) {
+                int e = bk.decode(b);
+                if (e < 0) return;
+                for (uint32_t l = 0; l < bk.dims; l++)
+                  vecs[j][off + k + l * step] +=
+                      bk.vq[(size_t)e * bk.dims + l];
+              }
+            } else {
+              uint32_t k = 0;
+              while (k < psize) {
+                int e = bk.decode(b);
+                if (e < 0) return;
+                for (uint32_t l = 0; l < bk.dims && k < psize; l++)
+                  vecs[j][off + k++] += bk.vq[(size_t)e * bk.dims + l];
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+};
+
+// --- IMDCT: DCT-IV via H-point complex FFT (derivation validated) ----------
+struct Imdct {
+  int N = 0;
+  std::vector<double> pre_r, pre_i;    // e^{-i pi (t+0.25)/M}
+  std::vector<double> post_r, post_i;  // e^{-i pi s/M}
+  std::vector<double> wr, wi;          // FFT twiddles
+  std::vector<uint32_t> rev;
+  std::vector<double> re, im, c;
+
+  void init(int n) {
+    N = n;
+    int M = n / 2, H = M / 2;
+    pre_r.resize(H); pre_i.resize(H);
+    post_r.resize(H); post_i.resize(H);
+    for (int t = 0; t < H; t++) {
+      double a = -M_PI * (t + 0.25) / M;
+      pre_r[t] = cos(a); pre_i[t] = sin(a);
+      double bta = -M_PI * t / M;
+      post_r[t] = cos(bta); post_i[t] = sin(bta);
+    }
+    int lg = 0;
+    while ((1 << lg) < H) lg++;
+    rev.resize(H);
+    for (int i = 0; i < H; i++) {
+      uint32_t r = 0;
+      for (int j = 0; j < lg; j++) r |= ((i >> j) & 1u) << (lg - 1 - j);
+      rev[i] = r;
+    }
+    wr.resize(H); wi.resize(H);
+    for (int i = 0; i < H; i++) {
+      double a = -2.0 * M_PI * i / H;  // forward FFT kernel
+      wr[i] = cos(a); wi[i] = sin(a);
+    }
+    re.resize(H); im.resize(H); c.resize(M);
+  }
+
+  void fft() {
+    int H = (int)re.size();
+    for (int i = 0; i < H; i++) {
+      uint32_t r = rev[i];
+      if ((uint32_t)i < r) {
+        std::swap(re[i], re[r]);
+        std::swap(im[i], im[r]);
+      }
+    }
+    for (int len = 2; len <= H; len <<= 1) {
+      int half = len >> 1, stride = H / len;
+      for (int i = 0; i < H; i += len) {
+        for (int j = 0; j < half; j++) {
+          double twr = wr[(size_t)j * stride], twi = wi[(size_t)j * stride];
+          double xr = re[i + j + half] * twr - im[i + j + half] * twi;
+          double xi = re[i + j + half] * twi + im[i + j + half] * twr;
+          re[i + j + half] = re[i + j] - xr;
+          im[i + j + half] = im[i + j] - xi;
+          re[i + j] += xr;
+          im[i + j] += xi;
+        }
+      }
+    }
+  }
+
+  // X: N/2 spectral coefficients -> x: N time samples
+  void run(const float* X, float* x) {
+    int M = N / 2, H = M / 2, q = N / 4;
+    for (int t = 0; t < H; t++) {
+      double ur = X[2 * t];
+      double ui = X[M - 1 - 2 * t];
+      re[t] = ur * pre_r[t] - ui * pre_i[t];
+      im[t] = ur * pre_i[t] + ui * pre_r[t];
+    }
+    fft();
+    for (int s = 0; s < H; s++) {
+      double vr = re[s] * post_r[s] - im[s] * post_i[s];
+      double vi = re[s] * post_i[s] + im[s] * post_r[s];
+      c[2 * s] = vr;
+      c[M - 1 - 2 * s] = -vi;
+    }
+    for (int n = 0; n < q; n++) x[n] = (float)c[q + n];
+    for (int n = q; n < 3 * q; n++) x[n] = (float)-c[3 * q - 1 - n];
+    for (int n = 3 * q; n < N; n++) x[n] = (float)-c[n - 3 * q];
+  }
+};
+
+// --- decoder ----------------------------------------------------------------
+struct Mapping {
+  std::vector<std::pair<int, int>> coupling;  // (magnitude, angle)
+  std::vector<int> mux;
+  std::vector<std::pair<int, int>> smaps;  // (floor, residue)
+};
+
+struct Decoder {
+  int channels = 0;
+  uint32_t rate = 0;
+  int bs0 = 0, bs1 = 0;
+  std::vector<Codebook> books;
+  std::vector<Floor1> floors;
+  std::vector<Residue> residues;
+  std::vector<Mapping> mappings;
+  std::vector<std::pair<int, int>> modes;  // (blockflag, mapping)
+  float inv_db[256];
+
+  Imdct im0, im1;
+  // window tables: [n][prev_f][next_f] but only long blocks vary
+  std::vector<float> win_short, win_long[2][2];
+  std::vector<std::vector<float>> saved;  // per-channel OLA tail
+  int saved_len = 0;
+  std::vector<std::vector<float>> pcm;
+
+  bool parse_id(const uint8_t* p, size_t n) {
+    if (n < 30 || p[0] != 1 || memcmp(p + 1, "vorbis", 6)) return false;
+    Bits b(p + 7, n - 7);
+    if (b.u(32) != 0) return false;
+    channels = (int)b.u(8);
+    rate = b.u(32);
+    b.u(32); b.u(32); b.u(32);
+    bs0 = 1 << b.u(4);
+    bs1 = 1 << b.u(4);
+    if (channels < 1 || channels > 64 || rate == 0) return false;
+    if (bs0 < 64 || bs1 < bs0 || bs1 > 8192) return false;
+    return b.bit() == 1;
+  }
+
+  bool parse_setup(const uint8_t* p, size_t n) {
+    if (n < 7 || p[0] != 5 || memcmp(p + 1, "vorbis", 6)) return false;
+    Bits b(p + 7, n - 7);
+    int nbooks = (int)b.u(8) + 1;
+    books.resize(nbooks);
+    for (int i = 0; i < nbooks; i++)
+      if (!books[i].parse(b)) return false;
+    int ntimes = (int)b.u(6) + 1;
+    for (int i = 0; i < ntimes; i++)
+      if (b.u(16) != 0) return false;
+    int nfloors = (int)b.u(6) + 1;
+    floors.resize(nfloors);
+    for (int i = 0; i < nfloors; i++) {
+      if (b.u(16) != 1) return false;  // floor 0 is ancient; unsupported
+      if (!floors[i].parse(b, nbooks)) return false;
+    }
+    int nres = (int)b.u(6) + 1;
+    residues.resize(nres);
+    for (int i = 0; i < nres; i++) {
+      uint32_t rt = b.u(16);
+      if (rt > 2) return false;
+      if (!residues[i].parse(b, (int)rt, books)) return false;
+    }
+    int nmaps = (int)b.u(6) + 1;
+    mappings.resize(nmaps);
+    for (int i = 0; i < nmaps; i++) {
+      if (b.u(16) != 0) return false;
+      Mapping& m = mappings[i];
+      int submaps = b.bit() ? (int)b.u(4) + 1 : 1;
+      if (b.bit()) {
+        int steps = (int)b.u(8) + 1;
+        for (int s = 0; s < steps; s++) {
+          int mag = (int)b.u(ilog(channels - 1));
+          int ang = (int)b.u(ilog(channels - 1));
+          if (mag == ang || mag >= channels || ang >= channels) return false;
+          m.coupling.push_back({mag, ang});
+        }
+      }
+      if (b.u(2) != 0) return false;
+      m.mux.assign(channels, 0);
+      if (submaps > 1)
+        for (int c = 0; c < channels; c++) {
+          m.mux[c] = (int)b.u(4);
+          if (m.mux[c] >= submaps) return false;
+        }
+      for (int s = 0; s < submaps; s++) {
+        b.u(8);
+        int fl = (int)b.u(8), res = (int)b.u(8);
+        if (fl >= (int)floors.size() || res >= (int)residues.size())
+          return false;
+        m.smaps.push_back({fl, res});
+      }
+    }
+    int nmodes = (int)b.u(6) + 1;
+    modes.resize(nmodes);
+    for (int i = 0; i < nmodes; i++) {
+      int bf = (int)b.bit();
+      if (b.u(16) != 0 || b.u(16) != 0) return false;
+      int mp = (int)b.u(8);
+      if (mp >= (int)mappings.size()) return false;
+      modes[i] = {bf, mp};
+    }
+    if (b.bit() != 1 || b.eop) return false;
+
+    for (int i = 0; i < 256; i++)
+      inv_db[i] = (float)pow(10.0, -7.0 * (255 - i) / 256.0);
+    im0.init(bs0);
+    im1.init(bs1);
+    build_windows();
+    saved.assign(channels, {});
+    pcm.assign(channels, {});
+    return true;
+  }
+
+  static void slope(float* w, int start, int end, int len, bool rising) {
+    for (int i = start; i < end; i++) {
+      double t = sin((i - start + 0.5) / len * M_PI / 2.0);
+      if (!rising) t = cos((i - start + 0.5) / len * M_PI / 2.0);
+      w[i] = (float)sin(M_PI / 2.0 * t * t);
+    }
+  }
+
+  void build_windows() {
+    win_short.assign(bs0, 0.0f);
+    slope(win_short.data(), 0, bs0 / 2, bs0 / 2, true);
+    slope(win_short.data(), bs0 / 2, bs0, bs0 / 2, false);
+    for (int pf = 0; pf < 2; pf++)
+      for (int nf = 0; nf < 2; nf++) {
+        std::vector<float>& w = win_long[pf][nf];
+        w.assign(bs1, 0.0f);
+        int ls, le, ln, rs, re_, rn;
+        edges(bs1, pf, nf, &ls, &le, &ln, &rs, &re_, &rn);
+        slope(w.data(), ls, le, ln, true);
+        for (int i = le; i < rs; i++) w[i] = 1.0f;
+        slope(w.data(), rs, re_, rn, false);
+      }
+  }
+
+  void edges(int n, int prev_f, int next_f, int* ls, int* le, int* ln,
+             int* rs, int* re_, int* rn) const {
+    if (n == bs1 && !prev_f && bs0 != bs1) {
+      *ls = n / 4 - bs0 / 4; *le = n / 4 + bs0 / 4; *ln = bs0 / 2;
+    } else {
+      *ls = 0; *le = n / 2; *ln = n / 2;
+    }
+    if (n == bs1 && !next_f && bs0 != bs1) {
+      *rs = 3 * n / 4 - bs0 / 4; *re_ = 3 * n / 4 + bs0 / 4; *rn = bs0 / 2;
+    } else {
+      *rs = n / 2; *re_ = n; *rn = n / 2;
+    }
+  }
+
+  // decode one audio packet; append OLA output to pcm
+  void decode_audio(const uint8_t* p, size_t n) {
+    Bits b(p, n);
+    if (b.bit() != 0) return;  // not audio
+    int mode_n = (int)b.u(ilog((uint32_t)modes.size() - 1));
+    if (mode_n >= (int)modes.size()) return;
+    int blockflag = modes[mode_n].first;
+    const Mapping& map = mappings[modes[mode_n].second];
+    int N = blockflag ? bs1 : bs0;
+    int prev_f = 1, next_f = 1;
+    if (blockflag) {
+      prev_f = (int)b.bit();
+      next_f = (int)b.bit();
+    }
+    if (b.eop) return;
+    int n2 = N / 2;
+    int ch = channels;
+
+    // floors
+    std::vector<std::vector<int>> ys(ch);
+    std::vector<char> no_res(ch, 0);
+    for (int c = 0; c < ch; c++) {
+      int fl = map.smaps[map.mux[c]].first;
+      if (!floors[fl].decode(b, books, ys[c])) {
+        ys[c].clear();
+        no_res[c] = 1;
+      }
+    }
+    for (auto& mc : map.coupling)
+      if (!(no_res[mc.first] && no_res[mc.second]))
+        no_res[mc.first] = no_res[mc.second] = 0;
+
+    // residues per submap
+    std::vector<std::vector<float>> res(ch, std::vector<float>(n2, 0.0f));
+    std::vector<float> scratch;
+    for (size_t s = 0; s < map.smaps.size(); s++) {
+      std::vector<float*> vecs;
+      std::vector<char> dnd;
+      for (int c = 0; c < ch; c++)
+        if (map.mux[c] == (int)s) {
+          vecs.push_back(res[c].data());
+          dnd.push_back(no_res[c]);
+        }
+      residues[map.smaps[s].second].decode(b, books, vecs, dnd, n2, scratch);
+    }
+
+    // inverse coupling (in reverse order)
+    for (int s = (int)map.coupling.size() - 1; s >= 0; s--) {
+      float* M = res[map.coupling[s].first].data();
+      float* A = res[map.coupling[s].second].data();
+      for (int i = 0; i < n2; i++) {
+        float m = M[i], a = A[i];
+        if (m > 0.0f) {
+          if (a > 0.0f) { A[i] = m - a; }
+          else { A[i] = m; M[i] = m + a; }
+        } else {
+          if (a > 0.0f) { A[i] = m + a; }
+          else { A[i] = m; M[i] = m - a; }
+        }
+      }
+    }
+
+    // floor multiply + IMDCT + window
+    const float* w =
+        blockflag ? win_long[prev_f][next_f].data()
+                  : (bs0 == bs1 ? win_long[1][1].data() : win_short.data());
+    Imdct& im = blockflag ? im1 : im0;
+    std::vector<float> spec(n2), td(N);
+    std::vector<std::vector<float>> outw(ch, std::vector<float>(N, 0.0f));
+    for (int c = 0; c < ch; c++) {
+      if (ys[c].empty()) continue;  // silent channel
+      int fl = map.smaps[map.mux[c]].first;
+      floors[fl].synth(ys[c], n2, inv_db, spec.data());
+      for (int i = 0; i < n2; i++) spec[i] *= res[c][i];
+      im.run(spec.data(), td.data());
+      for (int i = 0; i < N; i++) outw[c][i] = td[i] * w[i];
+    }
+
+    int ls, le, ln, rs, re_, rn;
+    edges(N, prev_f, next_f, &ls, &le, &ln, &rs, &re_, &rn);
+    if (saved_len > 0 || !saved[0].empty()) {
+      for (int c = 0; c < ch; c++) {
+        float* buf = outw[c].data();
+        const std::vector<float>& sv = saved[c];
+        for (size_t i = 0; i < sv.size(); i++) buf[ls + i] += sv[i];
+        pcm[c].insert(pcm[c].end(), buf + ls, buf + rs);
+      }
+    }
+    for (int c = 0; c < ch; c++)
+      saved[c].assign(outw[c].begin() + rs, outw[c].begin() + re_);
+    saved_len = re_ - rs;
+  }
+};
+
+}  // namespace
+}  // namespace vorbis
+
+extern "C" void ss_free_decoded(DecodedWavLayout* w);  // decoder.cpp
+
+// Decode an Ogg Vorbis file to planar float32. Returns 0 on success;
+// negative when the file is not Ogg Vorbis or no audio could be decoded
+// (caller falls back to the bridge for non-Vorbis Ogg payloads).
+extern "C" int ss_decode_vorbis(const char* path, DecodedWavLayout* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long fsz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (fsz <= 0) { fclose(f); return -1; }
+  std::vector<uint8_t> buf((size_t)fsz);
+  size_t rd = fread(buf.data(), 1, buf.size(), f);
+  fclose(f);
+  if (rd != buf.size()) return -1;
+
+  // --- Ogg packet walk (locked to the first Vorbis serial) ---
+  vorbis::Decoder dec;
+  int header_state = 0;  // 0 = want id, 1 = want comment, 2 = want setup, 3 = audio
+  bool have_serial = false;
+  uint32_t serial = 0;
+  int64_t last_granule = -1;
+  std::vector<uint8_t> cur;
+  size_t pos = 0;
+  bool ok_headers = false;
+
+  auto handle_packet = [&](const std::vector<uint8_t>& pkt) -> bool {
+    if (header_state == 0) {
+      if (!dec.parse_id(pkt.data(), pkt.size())) return false;
+      header_state = 1;
+    } else if (header_state == 1) {
+      if (pkt.empty() || pkt[0] != 3) return false;  // comment header
+      header_state = 2;
+    } else if (header_state == 2) {
+      if (!dec.parse_setup(pkt.data(), pkt.size())) return false;
+      header_state = 3;
+      ok_headers = true;
+    } else {
+      dec.decode_audio(pkt.data(), pkt.size());
+    }
+    return true;
+  };
+
+  while (pos + 27 <= buf.size()) {
+    if (memcmp(buf.data() + pos, "OggS", 4) != 0) { pos++; continue; }
+    uint8_t nsegs = buf[pos + 26];
+    if (pos + 27 + nsegs > buf.size()) break;
+    uint32_t ser;
+    memcpy(&ser, buf.data() + pos + 14, 4);
+    int64_t granule;
+    memcpy(&granule, buf.data() + pos + 6, 8);
+    const uint8_t* table = buf.data() + pos + 27;
+    size_t body = pos + 27 + nsegs;
+    if (!have_serial) {
+      // lock onto the first stream whose first packet smells like a
+      // Vorbis id header
+      size_t first_len = 0;
+      for (int i = 0; i < nsegs; i++) {
+        first_len += table[i];
+        if (table[i] < 255) break;
+      }
+      if (body + 7 <= buf.size() && first_len >= 7 &&
+          buf[body] == 1 && memcmp(buf.data() + body + 1, "vorbis", 6) == 0) {
+        have_serial = true;
+        serial = ser;
+      } else {
+        pos = body;  // skip page (count laces to advance correctly)
+        for (int i = 0; i < nsegs; i++) pos += table[i];
+        continue;
+      }
+    }
+    if (ser != serial) {
+      pos = body;
+      for (int i = 0; i < nsegs; i++) pos += table[i];
+      continue;
+    }
+    for (int i = 0; i < nsegs; i++) {
+      uint8_t lace = table[i];
+      if (body + lace > buf.size()) { lace = (uint8_t)(buf.size() - body); }
+      cur.insert(cur.end(), buf.data() + body, buf.data() + body + lace);
+      body += lace;
+      if (table[i] < 255) {
+        if (!handle_packet(cur) && header_state < 3) return -2;
+        cur.clear();
+      }
+    }
+    if (granule >= 0) last_granule = granule;
+    pos = body;
+  }
+
+  if (!ok_headers) return -2;
+  int ch = dec.channels;
+  int64_t frames = (int64_t)dec.pcm[0].size();
+  if (frames == 0) return -5;
+  if (last_granule >= 0 && last_granule < frames) frames = last_granule;
+
+  float* data = (float*)malloc(sizeof(float) * (size_t)frames * ch);
+  if (!data) return -6;
+  for (int c = 0; c < ch; c++)
+    memcpy(data + (size_t)c * frames, dec.pcm[c].data(),
+           sizeof(float) * (size_t)frames);
+  out->data = data;
+  out->frames = frames;
+  out->channels = ch;
+  out->rate = (int32_t)dec.rate;
+  return 0;
+}

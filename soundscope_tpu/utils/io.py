@@ -309,6 +309,14 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
             # I-III; only corrupt streams fall through to the bridge
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
+    if ext in ("ogg", "oga", "ogv") and nat is not None:
+        try:
+            # first-party Ogg Vorbis; non-Vorbis payloads (opus/speex/
+            # flac-in-ogg) error out here and fall to the bridge
+            return nat.decode_vorbis(path)
+        except DecodeError:
+            if not nat.codecs_available() and _ffmpeg_bin() is None:
+                raise
     if ext in ("m4a", "m4b", "mp4", "m4r", "m4p", "caf", "alac") and nat is not None:
         try:
             # first-party ALAC + MP4/CAF demux (and CAF LPCM); an
