@@ -771,9 +771,98 @@ static void stereo_process(const Header& h, const GrInfo& gright,
     // frequency-order spectra (reorder_short runs after this): per
     // (band, window) segment, intensity where the right channel's
     // segment is entirely zero
+    if (gright.mixed && h.lsf) {
+      // LSF mixed is_pos GEOMETRY differs from the value SERIALIZATION
+      // (which stays vals[0..5] -> long 0..5, vals[6+3(b-3)+w] -> short
+      // (b,w) and drives requantization — measured separately in
+      // tools/mp3_extract/reqsweep): mpg123 applies is_pos over EIGHT
+      // long bands (0..7, lsfb boundaries, in the line-interleaved
+      // domain — bands 6..7 overlap short band 3's lines), then short
+      // bands from 4 on, with vals[8..10] dead. Measured per line in
+      // tools/mp3_extract/extract_lsf_is_win.py.
+      auto val = [&](int k) {
+        return k < 6 ? sfr.l[k] : sfr.s[3 + (k - 6) / 3][(k - 6) % 3];
+      };
+      // per-window borders: intensity applies to (band, w) iff band >=
+      // border[w] = last short band with nonzero window-w content + 1
+      // (measured: content ABOVE in the same window disables the zero
+      // segments below it; content in other windows does not)
+      int border[3] = {3, 3, 3};
+      for (int band = 3; band < 13; band++) {
+        int lo = ssfb[band], hi = ssfb[band + 1];
+        for (int w = 0; w < 3; w++)
+          for (int L = lo; L < hi; L++)
+            if (xr[3 * L + w] != 0.0f) { border[w] = band + 1; break; }
+      }
+      // long bands 0..5 use the global last-nonzero bound (li domain)
+      int bound = 0;
+      for (int i = 575; i >= 0; i--)
+        if (xr[i] != 0.0f) { bound = i + 1; break; }
+      // long bands 0..5 (the dedicated long region) always follow the
+      // global bound
+      for (int band = 0; band < 6; band++) {
+        bool intensity = lsfb[band] >= bound;
+        for (int i = lsfb[band]; i < lsfb[band + 1]; i++)
+          apply_pair(i, intensity, val(band));
+      }
+      // Band 3's lines (li lsfb[6]..lsfb[8]) carry TWO transmitted
+      // is_pos layouts and the mode is picked by where the intensity
+      // region starts (all measured per line in the rig):
+      //  * bound <= lsfb[6] (right content confined to the long
+      //    region): LONG geometry — fields 6..7 per li band, k map
+      //    continuing through any is_pos EXCEPT 7 (which copies,
+      //    k=(1,1), instead of acting as the sentinel), and under
+      //    MS+IS both k scale by sqrt(2) (again except 7);
+      //  * bound > lsfb[6]: SHORT geometry — fields 8..10 as band 3's
+      //    per-window is_pos with NORMAL semantics.
+      if (bound <= (int)lsfb[6]) {
+        const float sq2 = 1.41421356237309515f;
+        for (int band = 6; band < 8; band++) {
+          for (int i = lsfb[band]; i < lsfb[band + 1]; i++) {
+            if (border[i % 3] > 3) {
+              apply_pair(i, false, 7);  // window has content: MS/copy
+              continue;
+            }
+            int is_pos = val(band);
+            float l = xl[i];
+            float kl, kr;
+            if (is_pos == 7) {
+              kl = kr = 1.0f;
+            } else {
+              kl = (is_pos & 1) ? io_pow[(is_pos + 1) >> 1] : 1.0f;
+              kr = (is_pos & 1) ? 1.0f : io_pow[is_pos >> 1];
+              if (ms) { kl *= sq2; kr *= sq2; }
+            }
+            xl[i] = l * kl;
+            xr[i] = l * kr;
+          }
+        }
+      } else {
+        int lo = ssfb[3], hi = ssfb[4];
+        for (int w = 0; w < 3; w++) {
+          bool intensity = 3 >= border[w];
+          for (int L = lo; L < hi; L++)
+            apply_pair(3 * L + w, intensity, val(8 + w));
+        }
+      }
+      for (int band = 4; band < 13; band++) {
+        int lo = ssfb[band], hi = ssfb[band + 1];
+        for (int w = 0; w < 3; w++) {
+          bool intensity = band >= border[w];
+          // bands 11 (w1/w2) and 12 (w1/w2) have no field and sit at a
+          // fixed is_pos 0; band 11/12 w0 share vals[32] (measured)
+          int is_pos;
+          if (band <= 10) is_pos = val(11 + (band - 4) * 3 + w);
+          else is_pos = (w == 0) ? val(32) : 0;
+          for (int L = lo; L < hi; L++)
+            apply_pair(3 * L + w, intensity, is_pos);
+        }
+      }
+      return;
+    }
     if (gright.mixed) {
-      // the mixed long region is 3*ssfb[3] lines (72 at MPEG-2.5 8 kHz,
-      // 36 elsewhere) — same geometry as requantize/reorder
+      // MPEG-1 mixed: the long region is 8 bands / 36 lines — same
+      // geometry as requantize/reorder
       int mixed_long = 3 * ssfb[3];
       int bound = 0;
       for (int i = 575; i >= 0; i--)
@@ -785,16 +874,27 @@ static void stereo_process(const Header& h, const GrInfo& gright,
           apply_pair(i, intensity, sfr.l[band]);
       }
     }
-    for (int band = gright.mixed ? 3 : 0; band < 13; band++) {
+    // Short blocks (MPEG-1 and LSF): per-window border rule — intensity
+    // for (band, w) iff band >= border[w] = last short band with nonzero
+    // window-w content + 1. Measured in tools/mp3_extract: content
+    // ABOVE in the same window disables the zero segments below it;
+    // content in other windows does not.
+    int first_b = gright.mixed ? 3 : 0;
+    int border[3] = {first_b, first_b, first_b};
+    for (int band = first_b; band < 13; band++) {
+      int lo = ssfb[band], hi = ssfb[band + 1];
+      for (int w = 0; w < 3; w++)
+        for (int L = lo; L < hi; L++)
+          if (xr[3 * L + w] != 0.0f) { border[w] = band + 1; break; }
+    }
+    for (int band = first_b; band < 13; band++) {
       int lo = ssfb[band], hi = ssfb[band + 1];
       for (int w = 0; w < 3; w++) {
-        bool zero = true;
-        for (int L = lo; L < hi; L++)
-          if (xr[3 * L + w] != 0.0f) { zero = false; break; }
+        bool intensity = band >= border[w];
         // band 12 inherits band 11's is_pos (measured; not a sentinel)
         int is_pos = sfr.s[band < 12 ? band : 11][w];
         for (int L = lo; L < hi; L++)
-          apply_pair(3 * L + w, zero, is_pos);
+          apply_pair(3 * L + w, intensity, is_pos);
       }
     }
   }

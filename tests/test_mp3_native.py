@@ -897,13 +897,13 @@ def test_8khz_mixed_blocks(tmp_path):
 def test_8khz_mixed_joint_stereo(tmp_path):
     """8 kHz mixed blocks in joint stereo: the mixed long region in
     stereo processing spans 3*ssfb[3] = 72 lines (it was hardcoded to
-    36, silently skipping lines 36-71). Intensity-only frames match
-    mpg123 exactly; for MS+IS the references themselves disagree on
-    short bands past window 0 (libav agrees with this decoder, mpg123
-    applies MS there), so that part pins against libav."""
+    36, silently skipping lines 36-71). Since the round-3 windowed-IS
+    geometry extraction (extract_lsf_is_win.py) every case — including
+    MS+IS past line 72, which round 2 mistook for an mpg123 quirk and
+    pinned against libav — matches mpg123 exactly."""
     nat = _native_mp3()
     oracle = _mpg123()
-    bridge = _bridge()
+    _bridge()
     _rig_path()
     import frames_lsf as FL
     from extract_d import count1b_impulse_bits
@@ -932,11 +932,8 @@ def test_8khz_mixed_joint_stereo(tmp_path):
             with open(p, "wb") as f:
                 f.write(b"".join(frames))
             mine = np.asarray(nat.decode_mp3(p).samples)
-            if mode_ext == 1 or ln < 72:
-                ref = np.atleast_2d(oracle.decode_frames_mpg123(
-                    frames, rate=8000, channels=2))
-            else:
-                ref = np.asarray(nat.decode_any(p).samples)
+            ref = np.atleast_2d(oracle.decode_frames_mpg123(
+                frames, rate=8000, channels=2))
             n = min(mine.shape[1], ref.shape[1])
             assert n > 0
             err = float(np.max(np.abs(mine[:, :n] - ref[:, :n])))
@@ -1016,3 +1013,155 @@ def test_single_frame_with_id3v1_tail(tmp_path):
     open(p, "wb").write(one + b"TAG" + b"\x00" * 125)
     d = nat.decode_mp3(p)
     assert d.rate == 44100 and d.samples.shape[1] >= 1152
+
+
+def _lsf_is_windowed_case(tmp_path, left_lines, right_fields, mode_ext,
+                          mixed, nr, slen=(2, 2, 2)):
+    """Craft an LSF joint-intensity frame with a window-switched right
+    channel: left carries +1 lines, right carries only is_pos fields."""
+    import frames_lsf as FL
+    from frames_lsf import LsfGranule
+
+    def quads(values):
+        out = []
+        for i in range(0, len(values), 4):
+            q = list(values[i:i + 4]) + [0] * (4 - len(values[i:i + 4]))
+            out.append("".join("0" if v else "1" for v in q))
+            for v in q:
+                if v:
+                    out.append("1" if v < 0 else "0")
+        return "".join(out)
+
+    vals = [0] * 576
+    for ln in left_lines:
+        vals[ln] = 1
+    while vals and vals[-1] == 0:
+        vals.pop()
+    vals += [0] * ((-len(vals)) % 4)
+    m0 = quads(vals)
+    g0 = LsfGranule(part2_3_length=len(m0), count1table_select=1,
+                    window_switching=True, block_type=2, mixed_block=mixed)
+    isc = slen[0] * 36 + slen[1] * 6 + slen[2]
+    fv = [0] * sum(nr)
+    for f, v in right_fields.items():
+        fv[f] = v
+    bits = ""
+    k = 0
+    for gi, cnt in enumerate(nr):
+        for _ in range(cnt):
+            bits += format(fv[k], f"0{slen[gi]}b")
+            k += 1
+    g1 = LsfGranule(part2_3_length=len(bits), scalefac_compress=isc * 2,
+                    window_switching=True, block_type=2, mixed_block=mixed)
+    Z = FL.lsf_stereo_zero_frame(24000, 1, mode_ext)
+    fr = FL.make_lsf_stereo_frame(24000, [g0, g1], [m0, bits], 1, mode_ext)
+    p = str(tmp_path / "iswin.mp3")
+    with open(p, "wb") as f:
+        f.write(b"".join([Z, fr, Z]))
+    nat = _native_mp3()
+    pcm = np.asarray(nat.decode_mp3(p).samples).astype(np.float64)
+    return pcm
+
+
+def test_lsf_windowed_is_geometry_pinned(tmp_path):
+    """Regression pins for the measured LSF windowed-IS geometry
+    (tools/mp3_extract/extract_lsf_is_win.py, validated against mpg123;
+    libav diverges on these shapes by design). With the left channel's
+    content confined to one segment and the right channel all-zero,
+    intensity makes pcm_r = (kr/kl) * pcm_l exactly."""
+    _rig_path()
+
+    def ratio(pcm):
+        l, r = pcm[0], pcm[1]
+        return float(r @ l) / float(l @ l)
+
+    # short blocks: field 3*b+w drives (band b, window w); v=1, io even
+    # -> (kl, kr) = (0.840896, 1.0) -> ratio 1.18921. Non-mixed trans
+    # layout at 24 kHz: band 3 w0 = lines 36..41 -> field 9
+    pcm = _lsf_is_windowed_case(tmp_path, list(range(36, 42)), {9: 1}, 1,
+                                0, [12, 12, 12])
+    assert abs(ratio(pcm) - 1.18921) < 2e-3
+    # ...and an unmapped field leaves it at 1.0
+    pcm = _lsf_is_windowed_case(tmp_path, list(range(36, 42)), {10: 1}, 1,
+                                0, [12, 12, 12])
+    assert abs(ratio(pcm) - 1.0) < 2e-3
+
+    # mixed blocks, long mode (right empty): field 6 covers long band 6
+    # = li 36..44, which is part of short band 3's lines (trans 36..41
+    # hits li 36,39,42 of it); under MS+IS the region k scales by
+    # sqrt(2): v=2 -> (sqrt2*1, sqrt2*0.840896)
+    pcm = _lsf_is_windowed_case(tmp_path, list(range(36, 42)), {6: 2}, 3,
+                                1, [6, 15, 12])
+    base = _lsf_is_windowed_case(tmp_path, list(range(36, 42)), {}, 0,
+                                 1, [6, 15, 12])
+    bl = float(base[0] @ base[0])
+    al = float(pcm[0] @ base[0]) / bl
+    assert abs(al - 1.41421) < 5e-3  # left scaled sqrt(2)*kl with kl=1
+
+    # mixed short region: field 11 + 3*(b-4) + w drives (b, w) for b>=4
+    pcm = _lsf_is_windowed_case(tmp_path, list(range(54, 62)), {11: 1}, 1,
+                                1, [6, 15, 12])  # b4:w0 is trans 54..61
+    assert abs(ratio(pcm) - 1.18921) < 2e-3
+
+
+def test_lsf_short_is_border_rule(tmp_path):
+    """Per-window intensity border: right-channel content ABOVE in the
+    same window disables the zero segments below it; other windows stay
+    intensity (measured on mpg123, MPEG-1 and LSF)."""
+    _rig_path()
+    import frames_lsf as FL
+    from frames_lsf import LsfGranule
+
+    def quads(values):
+        out = []
+        for i in range(0, len(values), 4):
+            q = list(values[i:i + 4]) + [0] * (4 - len(values[i:i + 4]))
+            out.append("".join("0" if v else "1" for v in q))
+            for v in q:
+                if v:
+                    out.append("1" if v < 0 else "0")
+        return "".join(out)
+
+    SSFB = [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192]
+
+    def t(b, w):
+        return 3 * SSFB[b] + w * (SSFB[b + 1] - SSFB[b])
+
+    def mk(lines, fields=None):
+        vals = [0] * 576
+        for ln in lines:
+            vals[ln] = 1
+        while vals and vals[-1] == 0:
+            vals.pop()
+        vals += [0] * ((-len(vals)) % 4)
+        m = quads(vals) if vals else ""
+        bits = ""
+        kw = dict(window_switching=True, block_type=2, mixed_block=0)
+        if fields is not None:
+            isc = 2 * 36 + 2 * 6 + 2
+            fv = [0] * 36
+            for f, v in fields.items():
+                fv[f] = v
+            for v in fv:
+                bits += format(v, "02b")
+            kw["scalefac_compress"] = isc * 2
+        g = LsfGranule(part2_3_length=len(bits) + len(m),
+                       count1table_select=1, **kw)
+        return g, bits + m
+
+    def run(right_lines):
+        g0, m0 = mk(list(range(t(5, 1), t(5, 1) + 10)))
+        g1, m1 = mk(right_lines, {f: 2 for f in range(36)})
+        Z = FL.lsf_stereo_zero_frame(24000, 1, 1)
+        fr = FL.make_lsf_stereo_frame(24000, [g0, g1], [m0, m1], 1, 1)
+        p = str(tmp_path / "border.mp3")
+        with open(p, "wb") as f:
+            f.write(b"".join([Z, fr, Z]))
+        pcm = np.asarray(_native_mp3().decode_mp3(p).samples).astype(np.float64)
+        l, r = pcm[0], pcm[1]
+        return float(r @ l) / float(l @ l)
+
+    # v=2 -> (1.0, 0.840896): intensity ratio 0.8409
+    assert abs(run([]) - 0.840896) < 2e-2                      # empty: on
+    assert abs(run(range(t(7, 0), t(7, 0) + 4)) - 0.840896) < 2e-2  # other w
+    assert abs(run(range(t(7, 1), t(7, 1) + 4))) < 6e-2        # same w: off

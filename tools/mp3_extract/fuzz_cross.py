@@ -14,13 +14,21 @@ A case counts as a finding when the decoder differs from mpg123 beyond
   * libav agrees with mpg123 -> decoder bug (fails loudly)
   * three-way disagreement -> implementation-defined corner (recorded)
 
-KNOWN OPEN CORNER (round 2): LSF joint-intensity frames whose RIGHT
-channel is window-switched (short/mixed) and carries nonzero intensity
-positions diverge from the references by a few percent — the is_pos
-geometry for those shapes (which no encoder emits: none produce LSF
-intensity at all) has not been pinned; campaign findings in that shape
-are classified "open", not BUG. The long-block LSF intensity geometry,
-k-map, and requantisation are fully measured (extract_lsf_is.py).
+The LSF windowed-IS geometry (round 2's open corner) is now fully
+measured and implemented (extract_lsf_is_win.py): per-window intensity
+borders for short blocks (MPEG-1 and LSF), the mixed-block double
+landscape — is_pos over EIGHT long bands in the line-interleaved
+domain vs. short bands from band 3, mode-picked by whether the
+intensity region starts below the short lines — incl. the sqrt(2)
+MS-coupled k table and the is_pos==7 copy special of the li-overlap
+region, plus the separate requantisation mapping. One residual
+three-way shape is recorded, not open: LEFT channel window-switched
+short while the RIGHT (intensity) channel is a long-geometry
+start/stop block — there mpg123 indexes is_pos slots beyond the 21
+transmitted long fields (uninitialised-buffer artifact, measured as
+band-pattern divergence with uniform fields), libav diverges wildly on
+all windowed IS, and no encoder emits the shape; all three decoders
+disagree pairwise.
 
 Usage: python fuzz_cross.py [N] [seed]  (failing blobs land in /tmp).
 """
@@ -56,15 +64,39 @@ def quad_bits(values):
     return "".join(out)
 
 
+import json  # noqa: E402
+
+with open(os.path.join(os.path.dirname(__file__),
+                       "huffman_tables.json")) as _f:
+    _C1A_CODES = {tuple(v): k
+                  for k, v in json.load(_f)["count1A"]["codes"].items()}
+
+
+def quad_bits_a(values):
+    """count1 table-A encoding (extracted codes), quad-aligned like
+    quad_bits: the campaign tests spec-shaped streams; quads crossing
+    part2_3_end are the separately-pinned overrun corner
+    (test_count1_overrun_drop) and must not leak in here, which is what
+    happened when table-B bits were fed to table-A granules."""
+    out = []
+    for i in range(0, len(values), 4):
+        q = values[i: i + 4]
+        out.append(_C1A_CODES[tuple(1 if v else 0 for v in q)])
+        for v in q:
+            if v:
+                out.append("1" if v < 0 else "0")
+    return "".join(out)
+
+
 class Gen:
     def __init__(self, seed):
         self.rng = np.random.default_rng(seed)
 
-    def content(self):
+    def content(self, c1t):
         n = int(self.rng.integers(8, 100)) * 4
         vals = [int(v) for v in self.rng.choice([-1, 0, 1],
                                                 p=[0.3, 0.4, 0.3], size=n)]
-        return quad_bits(vals)
+        return quad_bits_a(vals) if c1t == 0 else quad_bits(vals)
 
     def block(self):
         if self.rng.random() < 0.4:
@@ -82,10 +114,11 @@ class Gen:
         else:
             nsf = 11 * s1 + 10 * s2
         sf = "".join(self.rng.choice(["0", "1"]) for _ in range(nsf))
-        content = self.content()
+        c1t = int(self.rng.integers(0, 2))
+        content = self.content(c1t)
         g = GranuleSpec(
             part2_3_length=nsf + len(content), scalefac_compress=scomp,
-            count1table_select=int(self.rng.integers(0, 2)),
+            count1table_select=c1t,
             global_gain=int(self.rng.integers(190, 220)),
             scalefac_scale=int(self.rng.integers(0, 2)),
             window_switching=ws, block_type=bt, mixed_block=mixed,
@@ -131,10 +164,11 @@ class Gen:
             nr = nrs[row][kind]
         nsf = sum(s * r for s, r in zip(sl, nr))
         sf = "".join(self.rng.choice(["0", "1"]) for _ in range(nsf))
-        content = self.content()
+        c1t = int(self.rng.integers(0, 2))
+        content = self.content(c1t)
         g = LsfGranule(
             part2_3_length=nsf + len(content), scalefac_compress=sc,
-            count1table_select=int(self.rng.integers(0, 2)),
+            count1table_select=c1t,
             global_gain=int(self.rng.integers(190, 220)),
             scalefac_scale=int(self.rng.integers(0, 2)),
             window_switching=ws, block_type=bt, mixed_block=mixed,
@@ -168,8 +202,7 @@ class Gen:
                 pg.append(g)
                 pm.append(m)
             fr = FL.make_lsf_stereo_frame(rate, pg, pm, 1, mode_ext)
-            open_corner = bool(mode_ext & 1) and pg[1].window_switching
-            return (kind + ("/open" if open_corner else "")), rate, 2, [Z, fr, Z]
+            return kind, rate, 2, [Z, fr, Z]
         Z = FL.lsf_zero_frame(rate)
         g, m = self.lsf_granule(False)
         return kind, rate, 1, [Z, FL.make_lsf_frame(rate, g, m), Z]
@@ -179,7 +212,7 @@ def main(n_trials=150, seed=2024):
     from soundscope_tpu.native import decoder
 
     gen = Gen(seed)
-    quirks = bugs = threeway = skipped = opencorner = 0
+    quirks = bugs = threeway = skipped = 0
     for trial in range(n_trials):
         try:
             kind, rate, ch, frames = gen.case()
@@ -212,8 +245,6 @@ def main(n_trials=150, seed=2024):
         ref_av = float(np.max(np.abs(ref[:, :n][:, :nav] - av[:, :nav])))
         if av_err <= 1e-3 * peak:
             quirks += 1       # we match libav; mpg123 is the outlier
-        elif kind.endswith("/open"):
-            opencorner += 1   # known-open LSF windowed-IS shape
         elif ref_av <= 1e-3 * peak:
             bugs += 1         # both references agree against us
             keep = f"/tmp/fuzz_bug_{trial}.mp3"
@@ -223,7 +254,7 @@ def main(n_trials=150, seed=2024):
         else:
             threeway += 1
     print(f"trials={n_trials} skipped={skipped} mpg123-quirks={quirks} "
-          f"three-way={threeway} open-corner={opencorner} BUGS={bugs}")
+          f"three-way={threeway} BUGS={bugs}")
     return bugs
 
 
