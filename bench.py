@@ -194,7 +194,11 @@ def main():
         # profiler hooks); view with tensorboard --logdir DIR
         from soundscope_tpu.utils.metrics import profile_trace
 
-        prof_dir = sys.argv[sys.argv.index("--profile") + 1]
+        idx = sys.argv.index("--profile") + 1
+        if idx >= len(sys.argv) or sys.argv[idx].startswith("--"):
+            log("usage: bench.py --profile DIR")
+            raise SystemExit(2)
+        prof_dir = sys.argv[idx]
         with profile_trace(prof_dir):
             acc = jnp.float32(0.0)
             for _ in range(3):

@@ -17,6 +17,9 @@ def enable_compile_cache(path: str | None = None) -> None:
     import jax
 
     try:
+        if path is None and getattr(jax.config, "jax_compilation_cache_dir",
+                                    None):
+            return  # a user-configured cache dir wins over our default
         cache = path or os.environ.get(
             "SS_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_comp"))
         jax.config.update("jax_compilation_cache_dir", cache)

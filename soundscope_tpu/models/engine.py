@@ -72,21 +72,30 @@ def analyze_batch_native(cfg: MeterConfig):
         nv = n_valid[:, None, None]
         if use_pallas and n % cfg.block == 0:
             # fused: filter + mask + weighted-square + channel-sum in one
-            # Pallas pass; y never touches HBM
+            # Pallas pass; y never touches HBM. When the 100 ms sub-block
+            # divides by 32 (48 k/32 k/24 k/16 k/12 k/8 k families) the
+            # kernel also pre-sums 32-sample groups, shrinking its HBM
+            # writes 32x and killing the layout-repack loop XLA otherwise
+            # emits for the sub-block reduction (~20% of bench device
+            # time, round-3 chip trace in docs/KERNELS.md).
             from soundscope_tpu.ops.pallas_iir import (
                 kweight_energy_pallas_auto,
             )
 
+            g = 32 if h % 32 == 0 and cfg.block % 32 == 0 else 1
             z = kweight_energy_pallas_auto(
                 bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
-                samples, n_valid, w_tuple,
+                samples, n_valid, w_tuple, group=g,
             )
+            nb_sub = z.shape[-1] // (h // g)
+            sums = z[..., : nb_sub * (h // g)].reshape(
+                b, nb_sub, h // g).sum(axis=-1)
         else:
             y, _ = block_iir(bf, samples, jnp.zeros((b, ch, 4), jnp.float32))
             pos = jnp.arange(n)
             y = jnp.where(pos[None, None, :] < nv, y, 0.0)
             z = L.weighted_square(y, weights)
-        sums = L.subblock_sums(z, h)
+            sums = L.subblock_sums(z, h)
         nb = sums.shape[-1]
         nb_valid = n_valid // h
 

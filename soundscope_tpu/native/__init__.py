@@ -32,16 +32,19 @@ def _libav_headers() -> bool:
 
 
 def _arch_sig() -> str:
-    """Fingerprint of what -march=native resolves to on this host, so a
-    cached .so carried to a different CPU (NFS home, container image)
-    forces a rebuild instead of SIGILLing at load time."""
+    """Fingerprint of this host's CPU, so a cached .so carried to a
+    different machine (NFS home, container image) forces a rebuild
+    instead of SIGILLing at load time. Reads /proc/cpuinfo (no
+    subprocess: this runs on every native load)."""
     try:
-        out = subprocess.run(
-            ["g++", "-march=native", "-E", "-v", "-", "-o", os.devnull],
-            input=b"", capture_output=True, check=True,
-        ).stderr
-        march = b"\n".join(l for l in out.splitlines() if b"-march=" in l)
-        return hashlib.sha1(march).hexdigest()[:16]
+        sig = []
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    sig.append(line.strip())
+                    if len(sig) == 2:
+                        break
+        return hashlib.sha1("\n".join(sig).encode()).hexdigest()[:16]
     except Exception:
         return "unknown"
 
@@ -67,31 +70,36 @@ def build(force: bool = False) -> str:
         # moment ctypes dlopens the library.
         cflags = ["-O3", "-march=native", "-funroll-loops",
                   "-ffast-math", "-fPIC", "-std=c++17"]
+        import shutil
+        import tempfile
+
         for want_libav in ([True] if _libav_headers() else []) + [False]:
             defs = ["-DSS_HAVE_LIBAV"] if want_libav else []
             libs = (["-lavformat", "-lavcodec", "-lavutil", "-lswresample"]
                     if want_libav else [])
-            objs = []
+            # objects live in a per-process temp dir and the .so is
+            # renamed into place, so concurrent first-builds (pytest -n,
+            # CLI + TUI racing) never see each other's intermediates
+            tmpd = tempfile.mkdtemp(prefix="ssnative-")
             try:
+                objs = []
                 for s in srcs:
                     o = os.path.join(
-                        _DIR, os.path.splitext(os.path.basename(s))[0] + ".o")
+                        tmpd, os.path.splitext(os.path.basename(s))[0] + ".o")
                     subprocess.run(["g++", *cflags, *defs, "-c", s, "-o", o],
                                    check=True, capture_output=True)
                     objs.append(o)
-                subprocess.run(["g++", "-shared", *objs, "-o", _SO, *libs],
+                tmp_so = os.path.join(tmpd, "libssnative.so")
+                subprocess.run(["g++", "-shared", *objs, "-o", tmp_so, *libs],
                                check=True, capture_output=True)
+                os.replace(tmp_so, _SO)  # atomic within the filesystem
             except subprocess.CalledProcessError as e:
                 if not want_libav:
                     raise RuntimeError(
                         "native build failed:\n" + e.stderr.decode()) from e
                 continue  # retry without the libav codec bridge
             finally:
-                for o in objs:
-                    try:
-                        os.remove(o)
-                    except OSError:
-                        pass
+                shutil.rmtree(tmpd, ignore_errors=True)
             with open(_ARCH_STAMP, "w") as f:
                 f.write(sig)
             break

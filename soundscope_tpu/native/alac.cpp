@@ -346,7 +346,10 @@ int64_t decode_packet(const uint8_t* pkt, size_t len, const Config& cfg,
     if (frames < 0) frames = nsamples;
     else if (frames != (int64_t)nsamples) return fail();
   }
-  if (chan == 0 || frames < 0) return fail();
+  // a reader error (truncated packet, overrunning DSE/FIL skip, missing
+  // END tag) must drop the whole packet like any other parse failure —
+  // the bit-exact oracle (libav) skips such packets entirely
+  if (b.err || chan == 0 || frames < 0) return fail();
   // elements may legally cover fewer channels than the config claims
   // (defensive); pad the missing ones with silence
   for (int c = chan; c < cfg.channels; c++)
@@ -425,6 +428,11 @@ extern "C" int ss_decode_alac(const char* path, DecodedWavLayout* out) {
 
   // --- CAF LPCM: direct PCM unpack ---
   if (is_caf && t.codec == demux::fourcc("lpcm")) {
+    // desc fields come straight from the file: validate before any
+    // allocation sized by them (a crafted chunk must DecodeError, not
+    // abort the process)
+    if (t.channels < 1 || t.channels > 64 || t.bits < 8 || t.bits > 64)
+      return -4;
     std::vector<std::vector<float>> fpcm(t.channels);
     const demux::Packet& p = t.packets[0];
     if (p.off + p.size > buf.size() ||

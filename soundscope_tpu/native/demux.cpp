@@ -71,9 +71,10 @@ bool is_audio_entry(uint32_t cc) {
 }
 
 // Parse one trak box into `out`; returns false if it is not a usable
-// audio track with the wanted sample entry.
-bool parse_trak(const uint8_t* data, const Box& trak, uint32_t want,
-                Track* out) {
+// audio track with the wanted sample entry. `file_size` bounds the
+// index tables a crafted file can make us allocate.
+bool parse_trak(const uint8_t* data, size_t file_size, const Box& trak,
+                uint32_t want, Track* out) {
   Box mdia, minf, stbl;
   if (!find_child(data, trak.body, trak.end, fourcc("mdia"), &mdia) ||
       !find_child(data, mdia.body, mdia.end, fourcc("minf"), &minf) ||
@@ -133,7 +134,9 @@ bool parse_trak(const uint8_t* data, const Box& trak, uint32_t want,
   const uint8_t* z = data + stsz.body;
   if (stsz.end - stsz.body < 12) return false;
   uint32_t fixed = be32(z + 4), count = be32(z + 8);
-  if (count > (1u << 28)) return false;
+  // every sample occupies >= 1 byte of mdat, so more samples than file
+  // bytes is a lie — reject instead of allocating per the header
+  if (count > file_size) return false;
   std::vector<uint32_t> sizes;
   sizes.reserve(count);
   if (fixed) {
@@ -189,7 +192,7 @@ bool parse_mp4(const uint8_t* data, size_t n, uint32_t want, Track* out) {
     while (next_box(data, top.end, &tp, &trak)) {
       if (trak.type != fourcc("trak")) continue;
       Track t;
-      if (parse_trak(data, trak, want, &t)) {
+      if (parse_trak(data, n, trak, want, &t)) {
         *out = std::move(t);
         return true;
       }

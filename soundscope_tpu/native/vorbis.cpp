@@ -281,10 +281,13 @@ struct Floor1 {
     return r[multiplier - 1];
   }
 
-  // returns false -> channel unused this frame
-  bool decode(Bits& b, const std::vector<Codebook>& books,
-              std::vector<int>& y) const {
-    if (!b.bit()) return false;
+  // 1 = decoded, 0 = channel unused this frame (flag bit clear, or
+  // end-of-packet mid-decode — spec-legal), -1 = corrupt codeword (the
+  // whole packet must be abandoned; decoding on from a desynced cursor
+  // would overlap-add a frame of garbage the reference decoder rejects)
+  int decode(Bits& b, const std::vector<Codebook>& books,
+             std::vector<int>& y) const {
+    if (!b.bit()) return 0;
     int rng = range();
     y.clear();
     y.push_back((int)b.u(ilog(rng - 1)));
@@ -294,21 +297,21 @@ struct Floor1 {
       int cval = 0;
       if (c.subs) {
         cval = books[c.master].decode(b);
-        if (cval < 0) return false;
+        if (cval < 0) return b.eop ? 0 : -1;
       }
       for (int j = 0; j < c.dim; j++) {
         int book = c.books[cval & ((1 << c.subs) - 1)];
         cval >>= c.subs;
         if (book >= 0) {
           int v = books[book].decode(b);
-          if (v < 0) return false;
+          if (v < 0) return b.eop ? 0 : -1;
           y.push_back(v);
         } else {
           y.push_back(0);
         }
       }
     }
-    return !b.eop;
+    return 1;
   }
 
   static int render_point(int x0, int y0, int x1, int y1, int x) {
@@ -761,7 +764,9 @@ struct Decoder {
     std::vector<char> no_res(ch, 0);
     for (int c = 0; c < ch; c++) {
       int fl = map.smaps[map.mux[c]].first;
-      if (!floors[fl].decode(b, books, ys[c])) {
+      int rc = floors[fl].decode(b, books, ys[c]);
+      if (rc < 0) return;  // corrupt packet: drop it whole
+      if (rc == 0) {
         ys[c].clear();
         no_res[c] = 1;
       }

@@ -155,7 +155,28 @@ def weighted_square_rows(y, b, ch, B, w_list):
     return z
 
 
-def _energy_kernel_factory(b, ch, weights, kpg, B):
+def _masked_grouped(z, col, nv, group, b, B):
+    """Mask z at sample granularity, then pre-reduce `group` samples.
+
+    Emitting (b, B/group) instead of (b, B) cuts the kernel's HBM
+    writes group-fold AND removes the layout-repack while-loop XLA
+    otherwise emits for the downstream (b, nb, h) sub-block reduction
+    (measured ~20% of bench device time in the round-3 chip trace).
+    group must divide the 100 ms sub-block h so the regrouped sums
+    stay exact."""
+    z = jnp.where(col < nv, z, 0.0)
+    if group == 1:
+        return z
+    # Mosaic rejects the (b, B/g, g) shape-cast on real TPUs; a 0/1
+    # pooling matmul sums the lane groups on the MXU instead
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B // group), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B // group), 1)
+    pool = (rows // group == cols).astype(jnp.float32)
+    return jnp.dot(z, pool, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _energy_kernel_factory(b, ch, weights, kpg, B, group):
     """kpg = IIR blocks per grid step. The state recurrence serialises the
     grid, so per-step overhead (grid bookkeeping + DMA latency) dominates
     with one 512-sample block per step; carrying the state through `kpg`
@@ -205,20 +226,23 @@ def _energy_kernel_factory(b, ch, weights, kpg, B):
                 + (j * kpg + i) * B
             )
             z = weighted_square_rows(y, b, ch, B, w_list)
-            z_ref[:, i * B: (i + 1) * B] = jnp.where(col < nv_ref[:], z, 0.0)
+            Bg = B // group
+            z_ref[:, i * Bg: (i + 1) * Bg] = _masked_grouped(
+                z, col, nv_ref[:], group, b, B)
         s_scratch[:] = s
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("weights", "interpret"))
+@functools.partial(jax.jit, static_argnames=("weights", "interpret", "group"))
 def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
-                          interpret=False):
+                          interpret=False, group=1):
     """Fused filter + mask + weighted-square + channel-sum.
 
     x: (b, ch, N) raw samples, n_valid: (b,), weights: static tuple of
-    per-channel BS.1770 weights. Returns z: (b, N) — the channel-weighted
-    squared K-weighted signal — without ever materialising y in HBM.
+    per-channel BS.1770 weights. Returns z: (b, N // group) — the
+    channel-weighted squared K-weighted signal, pre-summed over `group`
+    samples (group=1 keeps raw z) — without ever materialising y in HBM.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -231,10 +255,11 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
     nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
     # blocks per grid step: double-buffered x+z tile bytes
     kpg = pick_kpg(nb, (b * ch + b) * B * 4 * 2)
-    kernel = _energy_kernel_factory(b, ch, weights, kpg, B)
+    kernel = _energy_kernel_factory(b, ch, weights, kpg, B, group)
     # residual of the Toeplitz after bf16 truncation (the bf16x2 split's
     # low term); costs one extra (B, B) constant in VMEM
     tt_lo = bf_Tt - bf_Tt.astype(jnp.bfloat16).astype(jnp.float32)
+    Bg = B // group
     z = pl.pallas_call(
         kernel,
         grid=(nb // kpg,),
@@ -247,15 +272,15 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
             pl.BlockSpec((n_state, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_state, n_state), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, kpg * B), lambda j: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        out_specs=pl.BlockSpec((b, kpg * Bg), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n // group), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b * ch, n_state), jnp.float32)],
         interpret=interpret,
     )(x2, nv, bf_Tt, tt_lo, bf_Wt, bf_Ot, bf_ABt)
     return z
 
 
-def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns):
+def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group):
     import os
 
     import jax.experimental.pallas as pl
@@ -309,14 +334,16 @@ def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns):
                 + (j * kpg + i) * B
             )
             z = weighted_square_rows(y, b, ch, B, w_list)
-            z_ref[:, i * B: (i + 1) * B] = jnp.where(col < nv_ref[:], z, 0.0)
+            Bg = B // group
+            z_ref[:, i * Bg: (i + 1) * Bg] = _masked_grouped(
+                z, col, nv_ref[:], group, b, B)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("weights", "interpret"))
+@functools.partial(jax.jit, static_argnames=("weights", "interpret", "group"))
 def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
-                                 weights, interpret=False):
+                                 weights, interpret=False, group=1):
     """Blocked-prefix variant of `kweight_energy_pallas`.
 
     The sequential kernel chains kpg state updates per grid step, so its
@@ -375,8 +402,9 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
         p_big = p_big.at[:, jb * ns:(jb + 1) * ns].set(abt[jb])
     ab_k = abt[kpg]
 
-    kernel = _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns)
+    kernel = _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group)
     tt_lo = bf_Tt - bf_Tt.astype(jnp.bfloat16).astype(jnp.float32)
+    Bg = B // group
     z = pl.pallas_call(
         kernel,
         grid=(nb // kpg,),
@@ -399,9 +427,9 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
             pl.BlockSpec((ns, ns), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, kpg * B), lambda j: (0, j),
+        out_specs=pl.BlockSpec((b, kpg * Bg), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n // group), jnp.float32),
         scratch_shapes=[pltpu.VMEM((rows, ns), jnp.float32)],
         interpret=interpret,
     )(x2, nv, bf_Tt, tt_lo, wt_big, t_big, p_big, ot_big, tend, ab_k)
@@ -409,7 +437,7 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
 
 
 def kweight_energy_pallas_auto(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
-                               weights, interpret=False):
+                               weights, interpret=False, group=1):
     """Pick the energy kernel by shape: the blocked-prefix variant wins
     when several blocks share a grid step (its per-step prefix matmuls
     amortise), but at kpg == 1 — e.g. the 1000-track library scan,
@@ -423,10 +451,10 @@ def kweight_energy_pallas_auto(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     if kpg >= 4:
         return kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows,
                                             x, n_valid, weights,
-                                            interpret=interpret)
+                                            interpret=interpret, group=group)
     return kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot,
                                  jnp.transpose(A_pows[B]), x, n_valid,
-                                 weights, interpret=interpret)
+                                 weights, interpret=interpret, group=group)
 
 
 def block_iir_pallas(bf: BlockFilter, x: jnp.ndarray, interpret: bool = False):

@@ -221,3 +221,38 @@ def test_random_matrix_bit_exact(tmp_path):
         libav = dec.decode_any(p)
         assert ours.samples.shape == libav.samples.shape, (kind, seconds, ch, ext)
         np.testing.assert_array_equal(ours.samples, libav.samples)
+
+
+def test_crafted_caf_headers_rejected_not_crash(tmp_path):
+    """Hostile desc/stsz fields must DecodeError, never abort the
+    process (allocation-by-header guard)."""
+    dec = _native()
+    # CAF with lpcm desc claiming 2^32-1 channels
+    desc = struct.pack(">d4sIIIII", 44100.0, b"lpcm", 0, 4, 1, 0xFFFFFFFF, 16)
+    caf = (b"caff" + struct.pack(">HH", 1, 0)
+           + b"desc" + struct.pack(">q", len(desc)) + desc
+           + b"data" + struct.pack(">q", 12) + b"\x00" * 12)
+    p = str(tmp_path / "evil.caf")
+    with open(p, "wb") as f:
+        f.write(caf)
+    with pytest.raises(DecodeError):
+        dec.decode_alac(p)
+
+    # minimal mp4 whose stsz claims 2^28 fixed-size samples
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    entry = (struct.pack(">I", 36 + 8) + b"alac" + b"\x00" * 16
+             + struct.pack(">HHII", 2, 16, 0, 44100 << 16)
+             + box(b"alac", b"\x00" * 4 + bytes(24)))
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stsz = box(b"stsz", struct.pack(">III", 0, 4096, 1 << 28))
+    stsc = box(b"stsc", struct.pack(">II", 0, 0))
+    stco = box(b"stco", struct.pack(">II", 0, 0))
+    stbl = box(b"stbl", stsd + stsz + stsc + stco)
+    moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+    p = str(tmp_path / "evil.m4a")
+    with open(p, "wb") as f:
+        f.write(box(b"ftyp", b"M4A \x00\x00\x00\x00") + moov)
+    with pytest.raises(DecodeError):
+        dec.decode_alac(p)

@@ -55,3 +55,37 @@ def test_engine_pallas_impl_flag(rng):
         P.kweight_energy_pallas = orig_e
         P.kweight_energy_pallas_prefix = orig_p
         TP.true_peak_pallas = orig_t
+
+
+def test_energy_group_presum_equivalence(rng):
+    """group=32 pre-summed output must equal the raw-z output regrouped
+    (exact: same masked values summed in the same 32-sample order)."""
+    from soundscope_tpu.ops.biquad import make_block_filter
+    from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
+    from soundscope_tpu.ops.pallas_iir import (
+        kweight_energy_pallas,
+        kweight_energy_pallas_prefix,
+    )
+
+    bf = make_block_filter(kweight_cascade_ss(48000), 128)
+    w = tuple(float(v) for v in channel_weights(2))
+    b, n = 3, 128 * 64
+    x = (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
+    nv = jnp.asarray([n, n - 700, n // 2], jnp.int32)
+    abt = jnp.transpose(bf.A_pows[128])
+
+    z1 = kweight_energy_pallas(bf.Tt, bf.Wt, bf.Ot, abt, x, nv, w,
+                               interpret=True)
+    z32 = kweight_energy_pallas(bf.Tt, bf.Wt, bf.Ot, abt, x, nv, w,
+                                interpret=True, group=32)
+    np.testing.assert_allclose(
+        np.asarray(z1).reshape(b, -1, 32).sum(-1), np.asarray(z32),
+        rtol=1e-6, atol=1e-7)
+
+    p1 = kweight_energy_pallas_prefix(bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x,
+                                      nv, w, interpret=True)
+    p32 = kweight_energy_pallas_prefix(bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x,
+                                       nv, w, interpret=True, group=32)
+    np.testing.assert_allclose(
+        np.asarray(p1).reshape(b, -1, 32).sum(-1), np.asarray(p32),
+        rtol=1e-6, atol=1e-7)
