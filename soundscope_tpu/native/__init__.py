@@ -136,6 +136,9 @@ def _load():
     lib.ss_decode_vorbis.restype = ctypes.c_int
     lib.ss_decode_any.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_any.restype = ctypes.c_int
+    lib.ss_decode_any_fmt.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_any_fmt.restype = ctypes.c_int
     lib.ss_codecs_available.restype = ctypes.c_int
     lib.ss_encode_audio.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -234,6 +237,31 @@ class decoder:
     def decode_any(path: str):
         """Compressed-codec bridge (mp3/aac/m4a/alac/ogg/caf/...)."""
         return _decode_with("ss_decode_any", path, "codec-bridge")
+
+    @staticmethod
+    def decode_any_fmt(path: str, fmt: str):
+        """Bridge decode with a FORCED container format (bypasses the
+        libav probe — crafted streams can embed fake sync words)."""
+        from soundscope_tpu.utils.io import DecodedAudio, DecodeError
+
+        lib = _load()
+        if lib is None or not lib.ss_codecs_available():
+            raise DecodeError("codec bridge unavailable")
+        out = lib._DecodedWav()
+        rc = lib.ss_decode_any_fmt(path.encode(), fmt.encode(),
+                                   ctypes.byref(out))
+        if rc != 0:
+            raise DecodeError(f"native forced-format decode failed (rc={rc})")
+        try:
+            n = out.frames * out.channels
+            flat = np.ctypeslib.as_array(out.data, shape=(int(n),))
+            planar = flat.reshape(out.channels, out.frames).copy()
+        finally:
+            lib.ss_free_decoded(ctypes.byref(out))
+        import os as _os
+
+        title = _os.path.splitext(_os.path.basename(path))[0]
+        return DecodedAudio(planar, int(out.rate), title)
 
     @staticmethod
     def encode(path: str, samples, rate: int, codec: str | None = None,

@@ -47,9 +47,16 @@ extern "C" int ss_codecs_available(void) { return 1; }
 
 // Decode any libav-supported audio file. Returns 0 on success; negative
 // codes mirror the other native decoders. Caller frees via ss_free_decoded.
-extern "C" int ss_decode_any(const char* path, DecodedWavLayout* out) {
+// `fmt_name` (nullable) forces the container format, bypassing the probe
+// — crafted ADTS streams can embed fake sync words that defeat format
+// detection (used by tools/aac_extract).
+extern "C" int ss_decode_any_fmt(const char* path, const char* fmt_name,
+                                 DecodedWavLayout* out) {
   AVFormatContext* fmt = nullptr;
-  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  const AVInputFormat* ifmt =
+      fmt_name && fmt_name[0] ? av_find_input_format(fmt_name) : nullptr;
+  if (fmt_name && fmt_name[0] && !ifmt) return -9;
+  if (avformat_open_input(&fmt, path, ifmt, nullptr) < 0) return -1;
   int rc = -2;
   AVCodecContext* dec = nullptr;
   SwrContext* swr = nullptr;
@@ -144,6 +151,10 @@ extern "C" int ss_decode_any(const char* path, DecodedWavLayout* out) {
   if (dec) avcodec_free_context(&dec);
   avformat_close_input(&fmt);
   return rc;
+}
+
+extern "C" int ss_decode_any(const char* path, DecodedWavLayout* out) {
+  return ss_decode_any_fmt(path, nullptr, out);
 }
 
 // Encode planar float32 to any container/codec libav can mux (ogg/vorbis,
@@ -264,6 +275,9 @@ extern "C" int ss_encode_audio(const char* path, const float* planar,
 
 extern "C" int ss_codecs_available(void) { return 0; }
 extern "C" int ss_decode_any(const char*, DecodedWavLayout*) { return -100; }
+extern "C" int ss_decode_any_fmt(const char*, const char*, DecodedWavLayout*) {
+  return -100;
+}
 extern "C" int ss_encode_audio(const char*, const float*, int64_t, int32_t,
                                int32_t, const char*, int64_t) { return -100; }
 
