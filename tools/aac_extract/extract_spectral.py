@@ -113,10 +113,27 @@ def bfs_units(book: int, prefix: str = "", cap: int = MAX_UNIT_LEN):
 
 
 def response(book: int, spec_bits: str):
-    x = _frame(book, spec_bits, PAYLOADS[0], NF_VALUE)
+    """TRANSIENT response: one content frame between silence frames.
+    Steady-state responses fold line pairs (2k-1, 2k) onto the same
+    output frequency (measured), so constant-spectrum streams cannot
+    separate them; the one-sided overlap-add transient keeps the true
+    (k+0.5)-frequency content and separates every line."""
+    from frames_aac import silence_frame
+
+    ics = Ics(global_gain=140, max_sfb=8,
+              sections=[(book, 1), (0, 7)] if BOOKS[book]["dims"] == 4
+              else None, scf_bits="0", spectral_bits=spec_bits)
+    raise RuntimeError("use response_ics")
+
+
+def response_ics(ics: Ics):
+    from frames_aac import silence_frame
+
+    S = silence_frame()
+    x = _decode(S * 2 + _sce_dse(ics, PAYLOADS[0]) + S * 3)
     if x is None:
         return None
-    return x[0, 2048:4096].astype(np.float64)  # one steady 2048 period
+    return x[0, 1024:5120].astype(np.float64)
 
 
 def solve_values(units, resp, zero_unit):
@@ -133,18 +150,24 @@ def solve_values(units, resp, zero_unit):
     R = np.stack([resp[u] for u in units])
     norms = np.linalg.norm(R, axis=1)
     nz = norms > 1e-3 * norms.max()
-    min_norm = norms[nz].min()
+    # anchor the single-line cluster on the 5th-smallest nonzero norm:
+    # robust to a few undersized outliers (decode hiccups)
+    nz_sorted = np.sort(norms[nz])
+    anchor = nz_sorted[min(4, len(nz_sorted) - 1)]
     atomic = [i for i in range(len(units))
-              if nz[i] and norms[i] < 1.12 * min_norm]
-    n = np.arange(2048)
+              if nz[i] and norms[i] < 1.15 * anchor
+              and norms[i] > 0.80 * anchor]
+    n = np.arange(R.shape[1])
     by_line = {}
     for i in atomic:
-        spec = np.abs(np.fft.rfft(R[i], n=16384))
-        comp = spec[::8][:64]
-        pair = np.array([comp[j] + comp[j + 1] for j in range(63)])
-        k = int(np.argmax(pair))
-        ref = np.cos(2 * np.pi / 2048 * (n + 0.5 + 512) * (k + 0.5))
-        s = 1.0 if float(R[i] @ ref) >= 0 else -1.0
+        # dominant (k+0.5)-frequency projection identifies the line in
+        # the transient response; sign pinned to the projection phase
+        # (consistent per line; the absolute convention is carried by
+        # the stored basis waveforms, which the decoder will be fit to)
+        projs = [complex(R[i] @ np.exp(-2j * np.pi * (k + 0.5) * n / 2048))
+                 for k in range(8)]
+        k = int(np.argmax([abs(p) for p in projs]))
+        s = 1.0 if projs[k].real >= 0 else -1.0
         by_line.setdefault(k, []).append(s * R[i])
     lines = sorted(by_line)
     assert len(lines) in (2, 4), (lines, len(atomic))
@@ -191,11 +214,16 @@ def extract_book(book: int):
     dims = BOOKS[book]["dims"]
     if dims == 4:
         units = bfs_units(book)
-        resp = {u: response(book, u) for u in units}
-        values, axes, scale = solve_values(units, resp, None)
+        resp = {}
+        for u in units:
+            ics = Ics(global_gain=140, max_sfb=8,
+                      sections=[(book, 1), (0, 7)], scf_bits="0",
+                      spectral_bits=u)
+            resp[u] = response_ics(ics)
+        values, lines, scale = solve_values(units, resp, None)
         return {"dims": 4, "units": {u: list(v) for u, v in values.items()}}
     # 2-tuple books: find the zero pair first (shortest self-parse)
-    pair = bfs_units(book, cap=16)
+    pair = bfs_units(book, cap=12)  # the zero pair is short
     if not pair:
         print(f"book {book}: no short zero-pair found", file=sys.stderr)
         return None
@@ -204,15 +232,32 @@ def extract_book(book: int):
     z = zz[: len(zz) // 2]
     # all second-position units after the zero codeword
     units = bfs_units(book, prefix=z)
-    resp = {u: response(book, z + u) for u in units}
-    values, axes, scale = solve_values(units, resp, z)
-    # second unit drives lines 2,3 of the width-4 band: fold to 2-tuples
-    folded = {}
-    for u, v in values.items():
-        assert v[0] == 0 and v[1] == 0, (book, u, v)
-        folded[u] = [v[2], v[3]]
-    return {"dims": 2, "zero_codeword_hint": z,
-            "units": folded}
+    resp = {}
+    for u in units:
+        ics = Ics(global_gain=140, max_sfb=8,
+                  sections=[(book, 1), (0, 7)], scf_bits="0",
+                  spectral_bits=z + u)
+        resp[u] = response_ics(ics)
+    try:
+        # the first unit (z) need not be the zero tuple (the loud books'
+        # shortest codeword is a nonzero pair): its constant response
+        # part cancels in the mean because sign variants average out
+        R = np.stack([resp[u] for u in units])
+        base = R.mean(axis=0, keepdims=True)
+        resp = {u: resp[u] - base[0] for u in units}
+        values, lines, scale = solve_values(units, resp, z)
+        folded = {}
+        for u, v in values.items():
+            assert v[0] == 0 and v[1] == 0, (book, u, v)
+            folded[u] = [v[2], v[3]]
+        return {"dims": 2, "zero_codeword_hint": z, "units": folded}
+    except AssertionError as e:
+        # values unresolved (round-4 work): still record the completed
+        # codeword ENUMERATION — the expensive, parse-oracle-verified part
+        print(f"book {book}: values unresolved ({e!r}); "
+              f"recording enumeration only", file=sys.stderr)
+        return {"dims": 2, "zero_codeword_hint": z,
+                "units_enumerated": units, "units": {}}
 
 
 def main():
@@ -222,7 +267,11 @@ def main():
     if os.path.exists(path):
         out = json.load(open(path))
     for b in books:
-        r = extract_book(b)
+        try:
+            r = extract_book(b)
+        except Exception as e:
+            print(f"book {b} FAILED: {e!r}", file=sys.stderr)
+            r = None
         if r is not None:
             out[str(b)] = r
         with open(path, "w") as f:
