@@ -288,6 +288,9 @@ class AudioPlayer:
                 try:
                     decoded = decode_file(str(cmd.arg))
                     handle = AudioFileHandle(decoded)
+                    # lets the TUI match a late-arriving handle to the
+                    # select that requested it (slow-decode pickup)
+                    handle.source_path = str(cmd.arg)
                 except (DecodeError, OSError) as e:
                     self._error(f"Failed to open file: {e}")
                     continue

@@ -101,6 +101,10 @@ class ExplorerState:
 class App:
     """The application state machine (reference: struct App, tui.rs:387-429)."""
 
+    # bounded wait for a decode before falling back to async pickup
+    # (reference blocks indefinitely, tui.rs:1892)
+    DECODE_WAIT_SECONDS = 10.0
+
     def __init__(self, player: AudioPlayer | None = None, start_file: str | None = None,
                  theme: T.Theme | None = None, config_dir: str | None = None):
         self.player = player or AudioPlayer()
@@ -144,6 +148,7 @@ class App:
 
         self.error_text = ""
         self.error_at = None
+        self._pending_decode = None  # path awaiting a slow decode, if any
         self.flash = {}  # key -> time of last press
         self.mouse = None  # (col, row)
         self.chart_rect: Rect | None = None
@@ -177,11 +182,24 @@ class App:
 
     def select_audio_file(self, path: str):
         self.reset_charts()
+        self._pending_decode = None
         self.player.send(PlayerCommand(Command.SELECT_FILE, path))
-        # blocking receive like the reference (tui.rs:1892)
+        # blocking receive like the reference (tui.rs:1892), but bounded:
+        # past the bound the UI stays responsive, an info popup explains
+        # the wait, and tick() picks the handle up when decode finishes
+        # instead of silently discarding the late result
         try:
-            handle = self.player.file_q.get(timeout=10.0)
+            handle = self.player.file_q.get(timeout=self.DECODE_WAIT_SECONDS)
         except queue.Empty:
+            self._pending_decode = path
+            self.handle_error(
+                f"Still decoding {os.path.basename(path)} — "
+                "it will load when ready"
+            )
+            return
+        if getattr(handle, "source_path", path) != path:
+            # stale handle from an earlier slow select; ours is still coming
+            self._pending_decode = path
             return
         self.receive_audio_file(handle)
 
@@ -377,6 +395,17 @@ class App:
     def tick(self):
         """One 8 ms loop iteration (src/tui.rs:1278-1424)."""
         self.tick_monitor.tick()
+        # pick up a decode that outlived select_audio_file's bounded wait
+        if self._pending_decode is not None:
+            try:
+                handle = self.player.file_q.get_nowait()
+            except queue.Empty:
+                pass
+            else:
+                want = self._pending_decode
+                if getattr(handle, "source_path", want) == want:
+                    self._pending_decode = None
+                    self.receive_audio_file(handle)
         # drain error channel
         try:
             while True:

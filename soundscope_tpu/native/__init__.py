@@ -79,8 +79,10 @@ def build(force: bool = False) -> str:
                     if want_libav else [])
             # objects live in a per-process temp dir and the .so is
             # renamed into place, so concurrent first-builds (pytest -n,
-            # CLI + TUI racing) never see each other's intermediates
-            tmpd = tempfile.mkdtemp(prefix="ssnative-")
+            # CLI + TUI racing) never see each other's intermediates.
+            # The temp dir must be on the SAME filesystem as the package
+            # (os.replace cannot cross mounts; /tmp is often tmpfs).
+            tmpd = tempfile.mkdtemp(prefix="ssnative-", dir=_DIR)
             try:
                 objs = []
                 for s in srcs:

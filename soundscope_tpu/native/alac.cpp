@@ -435,7 +435,9 @@ extern "C" int ss_decode_alac(const char* path, DecodedWavLayout* out) {
       return -4;
     std::vector<std::vector<float>> fpcm(t.channels);
     const demux::Packet& p = t.packets[0];
-    if (p.off + p.size > buf.size() ||
+    // overflow-safe: p.off is a 64-bit file-supplied chunk offset, so
+    // p.off + p.size can wrap; compare against the remaining span instead
+    if (p.off > buf.size() || p.size > buf.size() - p.off ||
         !alac::decode_lpcm(buf.data() + p.off, p.size, t, fpcm))
       return -4;
     int64_t frames = (int64_t)fpcm[0].size();
@@ -459,7 +461,9 @@ extern "C" int ss_decode_alac(const char* path, DecodedWavLayout* out) {
 
   std::vector<std::vector<int32_t>> pcm(cfg.channels);
   for (const demux::Packet& p : t.packets) {
-    if (p.off + p.size > buf.size() || p.size == 0) continue;
+    // overflow-safe bounds check (p.off comes from a 64-bit co64 field)
+    if (p.off > buf.size() || p.size > buf.size() - p.off || p.size == 0)
+      continue;
     // undecodable packets are skipped (reference: audio_player.rs:261)
     alac::decode_packet(buf.data() + p.off, p.size, cfg, pcm);
   }

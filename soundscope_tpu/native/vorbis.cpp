@@ -827,7 +827,12 @@ struct Decoder {
       for (int c = 0; c < ch; c++) {
         float* buf = outw[c].data();
         const std::vector<float>& sv = saved[c];
-        for (size_t i = 0; i < sv.size(); i++) buf[ls + i] += sv[i];
+        // Window flags are stream-controlled: a crafted long->short
+        // transition can carry a saved tail longer than this block's lap
+        // region [ls, le). Clamp the add to the lap so a hostile stream
+        // cannot write past outw[c].
+        size_t lap = std::min(sv.size(), (size_t)(le - ls));
+        for (size_t i = 0; i < lap; i++) buf[ls + i] += sv[i];
         pcm[c].insert(pcm[c].end(), buf + ls, buf + rs);
       }
     }
@@ -927,7 +932,9 @@ extern "C" int ss_decode_vorbis(const char* path, DecodedWavLayout* out) {
         cur.clear();
       }
     }
-    if (granule >= 0) last_granule = granule;
+    // Only audio pages carry meaningful granule positions; header pages
+    // report granule 0, which must not become the end-trim target.
+    if (granule >= 0 && header_state == 3) last_granule = granule;
     pos = body;
   }
 
@@ -935,7 +942,10 @@ extern "C" int ss_decode_vorbis(const char* path, DecodedWavLayout* out) {
   int ch = dec.channels;
   int64_t frames = (int64_t)dec.pcm[0].size();
   if (frames == 0) return -5;
-  if (last_granule >= 0 && last_granule < frames) frames = last_granule;
+  // Trim lapped-decode tail to the stream's stated length, but never trim
+  // decoded audio down to nothing on the say-so of a zero granule (crafted
+  // or truncated files whose audio pages carry no usable granulepos).
+  if (last_granule > 0 && last_granule < frames) frames = last_granule;
 
   float* data = (float*)malloc(sizeof(float) * (size_t)frames * ch);
   if (!data) return -6;

@@ -339,3 +339,31 @@ def test_metrics_readout(app, song):
     txt = _frame(app, w=120, h=30)
     assert "tick" in txt and "ms" in txt
     assert "lufs_push" in txt  # RT-factor entries appear once ops have run
+
+
+def test_slow_decode_surfaces_popup_then_loads(app, song, monkeypatch):
+    """A decode that outlives the bounded wait must not be silently
+    dropped: the select shows an explanatory popup, the UI keeps ticking,
+    and the handle is picked up once the player thread finishes
+    (reference blocks at tui.rs:1892; we bound the block instead)."""
+    from soundscope_tpu.apps import player as player_mod
+
+    real_decode = player_mod.decode_file
+
+    def slow_decode(path):
+        time.sleep(0.6)
+        return real_decode(path)
+
+    monkeypatch.setattr(player_mod, "decode_file", slow_decode)
+    app.DECODE_WAIT_SECONDS = 0.1
+    app.select_audio_file(song)
+    # timed out: no file yet, but the user was told why
+    assert app.audio_file is None
+    assert "Still decoding" in app.error_text
+    # UI keeps ticking; the late handle lands via tick(), not discarded
+    deadline = time.monotonic() + 10.0
+    while app.audio_file is None and time.monotonic() < deadline:
+        app.tick()
+        time.sleep(0.02)
+    assert app.audio_file is not None
+    assert abs(app.audio_file.duration - 3.0) < 0.01
