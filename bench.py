@@ -22,13 +22,11 @@ compares the measured RT factor against tools/bench_baseline.json,
 exiting nonzero on a conformance failure or a >10% RT regression.
 """
 
-import functools
 import json
 import os
 import sys
 import time
 
-import numpy as np
 
 
 def log(*a):

@@ -21,7 +21,6 @@ import threading
 
 import numpy as np
 
-from soundscope_tpu.core import constants as C
 
 
 class PyRing:

@@ -17,7 +17,6 @@ sequential loop, batchable with vmap.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax.numpy as jnp
 import numpy as np

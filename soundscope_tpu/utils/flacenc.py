@@ -14,7 +14,6 @@ FLAC via symphonia (Cargo.toml:21) and never encodes.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 

@@ -6,7 +6,6 @@ import json
 import os
 import sys
 
-import pytest
 
 TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 sys.path.insert(0, TOOLS)

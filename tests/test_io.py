@@ -121,7 +121,6 @@ def test_mid_side(tmp_path, sine_planar):
 def test_decoder_fuzz_no_crashes(rng):
     """Random/truncated bytes must raise DecodeError, never crash."""
     from soundscope_tpu.utils.io import decode_aiff, decode_wav
-    import pytest as _pytest
 
     for i in range(60):
         blob = rng.integers(0, 256, rng.integers(0, 400), dtype=np.uint8).tobytes()

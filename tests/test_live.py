@@ -2,7 +2,6 @@
 host transfers only."""
 
 import numpy as np
-import pytest
 
 from soundscope_tpu.core.config import MeterConfig
 from soundscope_tpu.models.live import LiveAnalyzer

@@ -2,7 +2,6 @@
 no oversampling above 192 k), plus 8x-oversample stretch option."""
 
 import numpy as np
-import pytest
 
 from soundscope_tpu.core import constants as C
 from soundscope_tpu.core.config import MeterConfig

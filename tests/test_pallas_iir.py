@@ -3,7 +3,6 @@
 Runs in interpret mode on CPU (identical lowering semantics); the real
 TPU path is exercised by bench/graft runs on hardware."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

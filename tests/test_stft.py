@@ -1,7 +1,6 @@
 """Throughput STFT paths: XLA fused (ops/stft.py) and the Pallas kernel
 (interpret mode) against the exact per-window spectrum pipeline."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -1,6 +1,5 @@
 """Theme engine parity (reference: src/tui.rs:137-355, builtin_themes.rs)."""
 
-import numpy as np
 import pytest
 
 from soundscope_tpu.apps import themes as T

@@ -31,7 +31,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-from frames_aac import Ics, sce_frame  # noqa: E402
 
 RATE = 48000
 MAX_SFB = 8

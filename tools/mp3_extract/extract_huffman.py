@@ -30,7 +30,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-from backhalf import granule_u_matrix, Synth  # noqa: E402
 from frames import GranuleSpec, make_frame, zero_frame  # noqa: E402
 from oracle import decode_frames  # noqa: E402
 

@@ -25,8 +25,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-import frames as F  # noqa: E402
-from backhalf import NMAT, Synth, freq_invert  # noqa: E402
 from extract_bands import set_rate  # noqa: E402
 from extract_huffman import _load_d, batch_decode_strict  # noqa: E402
 from frames import GranuleSpec, make_frame  # noqa: E402
