@@ -233,7 +233,50 @@ def cmd_bench(_args) -> int:
     return 0
 
 
-_SUBCOMMANDS = ("analyze", "scan", "tui", "themes", "bench")
+def cmd_warmup(args) -> int:
+    """Prime the persistent compile cache for the common analyze shapes.
+
+    First-touch compiles of a new (rate, bucket) shape can take minutes on
+    a cold cache (the XLA pipeline, not the device, is the cost); a
+    one-time `warmup` after install makes every later fresh-process
+    `analyze` hit the persistent cache and start in seconds.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from soundscope_tpu.core.config import MeterConfig
+    from soundscope_tpu.models.engine import analyze_batch_native, pad_bucket
+
+    rates = [int(r) for r in args.rates.split(",") if r.strip()]
+    batches = [int(b) for b in args.batch.split(",") if b.strip()]
+    t0 = time.time()
+    total = 0
+    for rate in rates:
+        cfg = MeterConfig(channels=2, rate=rate, max_blocks=0)
+        fn = jax.jit(analyze_batch_native(cfg))
+        n = pad_bucket(1)  # minimum bucket
+        while True:
+            for bsz in batches:
+                xs = jax.ShapeDtypeStruct((bsz, 2, n), jnp.float32)
+                nv = jax.ShapeDtypeStruct((bsz,), jnp.int32)
+                t = time.time()
+                fn.lower(xs, nv).compile()  # AOT: no data, cache-persisted
+                total += 1
+                print(
+                    f"warmed rate={rate} samples={n} batch={bsz} "
+                    f"({time.time() - t:.1f}s)",
+                    flush=True,
+                )
+            if n / rate >= args.max_seconds:
+                break
+            n <<= 1
+    print(f"warmup: {total} programs in {time.time() - t0:.1f}s")
+    return 0
+
+
+_SUBCOMMANDS = ("analyze", "scan", "tui", "themes", "bench", "warmup")
 
 
 def _normalize_argv(argv: list[str]) -> list[str]:
@@ -291,6 +334,19 @@ def main(argv=None) -> int:
 
     sub.add_parser("themes", help="list built-in themes").set_defaults(fn=cmd_themes)
     sub.add_parser("bench", help="run the RT-factor benchmark").set_defaults(fn=cmd_bench)
+
+    w = sub.add_parser(
+        "warmup",
+        help="prime the persistent compile cache for common analyze shapes",
+    )
+    w.add_argument("--rates", default="44100,48000",
+                   help="comma-separated sample rates (default 44100,48000)")
+    w.add_argument("--max-seconds", type=float, default=900.0,
+                   dest="max_seconds",
+                   help="warm buckets up to this audio duration (default 900)")
+    w.add_argument("--batch", default="1",
+                   help="comma-separated batch sizes to warm (default 1)")
+    w.set_defaults(fn=cmd_warmup)
 
     args = ap.parse_args(argv)
     if not getattr(args, "fn", None):

@@ -198,3 +198,13 @@ def test_low_rate_spectrogram_uses_xla_path(tmp_path):
 
     with pytest.raises(ValueError, match="Nyquist"):
         stft_pooled_pallas(jnp.zeros((1, 1 << 15)), jnp.zeros((1, 1 << 15)), 32000)
+
+
+def test_warmup_compiles_and_caches(capsys):
+    # minimum-bucket warmup: one AOT compile, persisted to the shared
+    # compile cache so a later fresh-process analyze of that shape is warm
+    rc = main(["warmup", "--rates", "44100", "--max-seconds", "0.1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "warmed rate=44100 samples=32768 batch=1" in out
+    assert "warmup: 1 programs" in out
