@@ -107,9 +107,9 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
 
     @jax.jit
     def stft_pallas(x):
-        from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
+        from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas_packed
 
-        mid_db, side_db = stft_pooled_pallas(x[:, 0], x[:, 1], rate, dtype=dtype)
+        mid_db, side_db = stft_pooled_pallas_packed(x, rate, dtype=dtype)
         return jnp.max(mid_db, axis=(-2, -1)), jnp.max(side_db, axis=(-2, -1))
 
     stft = {"oneshot": stft_oneshot, "pallas": stft_pallas,

@@ -55,12 +55,6 @@ def _consts(rate: int):
     gain, per, centers = _pooled_gain_plan(WIN, rate, BANDS)
     g2 = (gain.astype(np.float64) ** 2).astype(np.float32)
     hann = _hann_np(WIN)
-    exch = np.eye(N1, dtype=np.float32)[::-1].copy()
-    # reverse-and-shift permutations (rolls folded into the matmul):
-    # exs[n, k] = 1 iff k = (N1 - n) % N1
-    exs = np.zeros((N1, N1), np.float32)
-    for n_ in range(N1):
-        exs[n_, (N1 - n_) % N1] = 1.0
     # with k = k1 + N1*k2, gain must be zero at and above Nyquist for the
     # kernel's half-spectrum pooling (callers gate on pallas_supported)
     if np.any(g2[WIN // 2:] > 0.0):
@@ -73,30 +67,26 @@ def _consts(rate: int):
         f1.real.astype(np.float32), f1.imag.astype(np.float32),
         f2.real.astype(np.float32), f2.imag.astype(np.float32),
         tw.real.astype(np.float32), tw.imag.astype(np.float32),
-        hann, g2, exch, exs, per, centers,
+        hann, g2, per, centers,
     )
 
 
 def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
-    import os
-
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # "swapped" (default): keep every dot_general contraction on the LAST
-    # axis (explicit swapaxes between stages; the DFT/twiddle/exchange
-    # matrices are all symmetric, so no transposed constants are needed)
-    # instead of contracting a middle axis — measured ~6% faster than
+    # Every dot_general keeps its contraction on the LAST axis (explicit
+    # swapaxes between stages; the DFT/twiddle matrices are symmetric, so
+    # no transposed constants are needed) — measured ~6% faster than
     # Mosaic's middle-axis lowering on v5e.
-    layout = os.environ.get("SS_STFT_LAYOUT", "swapped")
 
     # rows of the contiguous HBM tile one chunk needs: wchunk windows at
     # 16-row hops plus the 112-row overlap tail of the last window
     rows_per_hop = HOP // N2  # 16
     TILE_ROWS = wchunk * rows_per_hop + (N1 - rows_per_hop)
 
-    def kernel(l_hbm, r_hbm, f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch,
-               exs, mid_out, side_out, tile_l, tile_r, win_l, win_r,
+    def kernel(x_hbm, f1r, f1i, f2r, f2i, twr, twi, hann, g2,
+               mid_out, side_out, tile_l, tile_r, win_l, win_r,
                sem_tile, sem_win):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -117,19 +107,21 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
         def start_tile(slot_, ii, jj):
             src = pl.ds(jj * (wchunk * rows_per_hop), TILE_ROWS)
             pltpu.make_async_copy(
-                l_hbm.at[ii, src, :], tile_l.at[slot_], sem_tile.at[slot_, 0]
+                x_hbm.at[ii, 0, src, :], tile_l.at[slot_],
+                sem_tile.at[slot_, 0],
             ).start()
             pltpu.make_async_copy(
-                r_hbm.at[ii, src, :], tile_r.at[slot_], sem_tile.at[slot_, 1]
+                x_hbm.at[ii, 1, src, :], tile_r.at[slot_],
+                sem_tile.at[slot_, 1],
             ).start()
 
         def wait_tile(slot_):
             pltpu.make_async_copy(
-                l_hbm.at[0, pl.ds(0, TILE_ROWS), :], tile_l.at[slot_],
+                x_hbm.at[0, 0, pl.ds(0, TILE_ROWS), :], tile_l.at[slot_],
                 sem_tile.at[slot_, 0],
             ).wait()
             pltpu.make_async_copy(
-                r_hbm.at[0, pl.ds(0, TILE_ROWS), :], tile_r.at[slot_],
+                x_hbm.at[0, 1, pl.ds(0, TILE_ROWS), :], tile_r.at[slot_],
                 sem_tile.at[slot_, 1],
             ).wait()
 
@@ -191,46 +183,41 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
             )
             return y.reshape(*lead, f.shape[1])
 
-        def fft_orig(xr, xi):
+        def fft_both(xr, xi):
+            """Z[k] AND Z[-k] in (w, k1, k2) layout from one shared
+            stage 1.
 
-            def lmm(f, x):  # f (N1,N1) applied over x's N1 axis
-                y = jax.lax.dot_general(
-                    mxu(x), mxu(f.T), (((1,), (0,)), ((), ())),
-                    precision=hi, preferred_element_type=jnp.float32,
-                )                                          # (w, N2, N1)
-                return jnp.swapaxes(y, 1, 2)
-
-            ar = lmm(f1r[:], xr) - lmm(f1i[:], xi)
-            ai = lmm(f1i[:], xr) + lmm(f1r[:], xi)
-            br = ar * twr[:] - ai * twi[:]
-            bi = ar * twi[:] + ai * twr[:]
-
-            def rmm(x, f):  # contract x's N2 axis with f (N2,N2)
-                return jax.lax.dot_general(
-                    mxu(x), mxu(f), (((2,), (0,)), ((), ())),
-                    precision=hi, preferred_element_type=jnp.float32,
-                )                                          # (w, N1, N2->k2)
-
-            yr = rmm(br, f2r[:]) - rmm(bi, f2i[:])
-            yi = rmm(br, f2i[:]) + rmm(bi, f2r[:])
-            return yr, yi  # (w, k1, k2)
-
-        def fft_swapped(xr, xi):
-            # f1/f2/tw are symmetric (value depends only on the index
-            # product), so transposed layouts reuse the same constants
+            Z[-k] is the transform with every constant conjugated (it
+            never needs an index reversal, which Mosaic cannot express
+            cheaply). The conjugate path's stage 1 recombines the SAME
+            four matmul products as the forward path (sign flips only),
+            so the doubled output costs 12 matmul-units per window
+            instead of the 16 the old permutation-matmul reversal paid —
+            and at full f32-accumulate precision, with no bf16 hi/lo
+            gather splits. f1/f2/tw are symmetric (value depends only on
+            the index product), so transposed layouts reuse the same
+            constants."""
             xrt = jnp.swapaxes(xr, 1, 2)       # (w, n2, n1)
             xit = jnp.swapaxes(xi, 1, 2)
-            ar = mml(xrt, f1r[:]) - mml(xit, f1i[:])   # (w, n2, k1)
-            ai = mml(xit, f1r[:]) + mml(xrt, f1i[:])
+            p1 = mml(xrt, f1r[:])              # shared stage-1 products
+            p2 = mml(xit, f1i[:])
+            p3 = mml(xit, f1r[:])
+            p4 = mml(xrt, f1i[:])
+            ar, ai = p1 - p2, p3 + p4          # (w, n2, k1)   forward
+            cr, ci = p1 + p2, p3 - p4          # conj-constant path
             br = ar * twr[:] - ai * twi[:]     # tw[k1,n2] == tw[n2,k1]
             bi = ar * twi[:] + ai * twr[:]
+            dr = cr * twr[:] + ci * twi[:]     # x conj(tw)
+            di = ci * twr[:] - cr * twi[:]
             brt = jnp.swapaxes(br, 1, 2)       # (w, k1, n2)
             bit = jnp.swapaxes(bi, 1, 2)
+            drt = jnp.swapaxes(dr, 1, 2)
+            dit = jnp.swapaxes(di, 1, 2)
             yr = mml(brt, f2r[:]) - mml(bit, f2i[:])   # (w, k1, k2)
             yi = mml(brt, f2i[:]) + mml(bit, f2r[:])
-            return yr, yi
-
-        fft = fft_swapped if layout == "swapped" else fft_orig
+            vr = mml(drt, f2r[:]) + mml(dit, f2i[:])   # x conj(f2)
+            vi = mml(dit, f2r[:]) - mml(drt, f2i[:])
+            return yr, yi, vr, vi
 
         HALF = WIN // 2
         HB = BANDS // 2  # bands covering k < WIN/2; gain is 0 above Nyquist
@@ -240,49 +227,11 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
             # (the only bands with nonzero display gain)
             return jnp.swapaxes(t, 1, 2)[:, : N2 // 2, :].reshape(wchunk, HALF)
 
-        def negate_freq_half(t):
-            """Z[-k] for k < WIN/2 in (.., k1, k2) layout, without lax.rev
-            (unsupported): k' = WIN - k maps k1 >= 1 to (N1-k1, N2-1-k2)
-            and the k1 = 0 row to (0, (N2-k2) % N2). The +1 shifts are
-            FOLDED into the reverse-shift matrix `exs` (one matmul per
-            axis, no rolls); the k1 = 0 row gets its own tiny matmul."""
-            # exchange matmuls are exact 0/1 permutations, so each pass is
-            # a lossless gather of its bf16 operand; the hi+lo bf16 split
-            # carries ~16 of f32's 24 mantissa bits (~2^-17 relative,
-            # ≈1e-4 dB after pooling — far below display resolution) with
-            # two native-speed passes vs 6 for a HIGHEST f32 matmul
-            ex = exch[:].astype(jnp.bfloat16)
-            exs_b = exs[:].astype(jnp.bfloat16)
-
-            def perm(x, f):  # permute x's LAST axis by the 0/1 matrix f
-                lead = x.shape[:-1]
-                x2 = x.reshape(-1, x.shape[-1])  # merge: one big matmul
-                dims = (((1,), (0,)), ((), ()))
-                hi_part = x2.astype(jnp.bfloat16)
-                lo_part = (x2 - hi_part.astype(jnp.float32)).astype(
-                    jnp.bfloat16)
-                y = jax.lax.dot_general(
-                    hi_part, f, dims, preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    lo_part, f, dims, preferred_element_type=jnp.float32,
-                )
-                return y.reshape(*lead, f.shape[1])
-
-            c1 = perm(jnp.swapaxes(t, 1, 2), exs_b)  # (2w, k2, k1->N1-k1)
-            c1 = jnp.swapaxes(c1, 1, 2)              # (2w, k1', k2)
-            c = perm(c1, ex)                         # k2 -> N2-1-k2 (k1'>=1)
-            row0 = perm(c1[:, 0:1, :], exs_b)        # k1'=0: k2 -> (N2-k2)%N2
-            k1_idx = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-            return jnp.where(k1_idx == 0, row0, c)
-
-        yr3, yi3 = fft(zr, zi)
+        yr3, yi3, vr3, vi3 = fft_both(zr, zi)
         zr_f = flatten_half(yr3)
         zi_f = flatten_half(yi3)
-        # one negate pass for both tensors (stacked along the window axis)
-        both = jnp.concatenate([yr3, yi3], axis=0)
-        both_rev = negate_freq_half(both)
-        zr_rev = flatten_half(both_rev[:wchunk])
-        zi_rev = flatten_half(both_rev[wchunk:])
+        zr_rev = flatten_half(vr3)
+        zi_rev = flatten_half(vi3)
         p = zr_f * zr_f + zi_f * zi_f
         p_rev = zr_rev * zr_rev + zi_rev * zi_rev
         c = zr_f * zr_rev - zi_f * zi_rev
@@ -309,9 +258,16 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
 
 
 @functools.partial(jax.jit, static_argnames=("rate", "wchunk", "interpret", "dtype"))
-def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
-                       interpret: bool = False, dtype=jnp.float32):
-    """l, r: (B, N) channel signals -> (mid_db, side_db): (B, nw, BANDS).
+def stft_pooled_pallas_packed(x, rate: int, wchunk: int | None = None,
+                              interpret: bool = False, dtype=jnp.float32):
+    """x: (B, 2, N) planar stereo -> (mid_db, side_db): (B, nw, BANDS).
+
+    The kernel DMAs per-channel tiles straight out of the packed array
+    (any float dtype; operands convert to the matmul dtype in VMEM), so
+    callers that already hold (B, 2, N) samples — the engine, the bench —
+    pay NO XLA channel-split / dtype-convert / reshape passes on the
+    GB-scale input (measured ~4.5 ms/iter of pure layout plumbing on the
+    round-3 trace, docs/KERNELS.md).
 
     N must satisfy (N // HOP - K + 1) % wchunk == 0 after truncation; the
     trailing remainder windows are dropped (callers pad or accept — the
@@ -324,35 +280,28 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
         # f32 intermediates are twice the size; 16 windows/chunk with the
         # double-buffered window scratch overflows the 16 MB VMEM budget
         wchunk = 16 if dtype == jnp.bfloat16 else 8
-    import os as _os
-    stream = _os.environ.get("SS_STFT_STREAM", "bf16")
-    in_dtype = (jnp.bfloat16 if dtype == jnp.bfloat16 and stream == "bf16"
-                else jnp.float32)
+    in_dtype = x.dtype
 
-    (f1r, f1i, f2r, f2i, twr, twi, hann, g2, exch, exs, per, _) = _consts(rate)
-    b, n = l.shape
+    (f1r, f1i, f2r, f2i, twr, twi, hann, g2, per, _) = _consts(rate)
+    b, ch, n = x.shape
+    assert ch == 2, "packed STFT expects (B, 2, N) stereo"
     nhop = n // HOP
     nw_full = nhop - K + 1
     nw = (nw_full // wchunk) * wchunk
     nwc = nw // wchunk
-    # (B, N/128, 128): window w = 128 rows starting at row 16*w (aligned)
-    # in bf16 display mode the inputs stream as bf16: half the DMA bytes
-    # and half the window-scratch footprint (the first matmul consumes
-    # bf16 operands anyway; quantization lands ~2^-9 relative on inputs,
-    # far below the 0.1 dB display budget — tools/tpu_conformance.py)
-    frames_l = l[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2).astype(in_dtype)
-    frames_r = r[:, : nhop * HOP].reshape(b, nhop * HOP // N2, N2).astype(in_dtype)
+    rows = nhop * HOP // N2
+    # (B, 2, N/128, 128): contiguous per channel, so this reshape is free;
+    # window w = 128 rows starting at row 16*w (aligned)
+    frames = x[:, :, : nhop * HOP].reshape(b, 2, rows, N2)
 
     kernel = _make_kernel(wchunk, per, dtype)
-    smem = pl.ANY
 
     grid = (b, nwc)
-    rows = nhop * HOP // N2
     in_specs = [
             # ANY-space blocks must be the full array with a trivial map;
-            # the kernel DMA-slices its own (track, window) tiles.
-            pl.BlockSpec((b, rows, N2), lambda i, j: (0, 0, 0), memory_space=smem),
-            pl.BlockSpec((b, rows, N2), lambda i, j: (0, 0, 0), memory_space=smem),
+            # the kernel DMA-slices its own (track, channel, window) tiles.
+            pl.BlockSpec((b, 2, rows, N2), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pl.ANY),
             pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N2, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -361,8 +310,6 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
             pl.BlockSpec((N1, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = [
             pl.BlockSpec((1, wchunk, BANDS), lambda i, j: (i, j, 0),
@@ -392,6 +339,18 @@ def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
             pltpu.SemaphoreType.DMA((2 * wchunk,)),
         ],
         interpret=interpret,
-    )(frames_l, frames_r, f1r, f1i, f2r, f2i, twr, twi,
-      hann.reshape(1, WIN), g2.reshape(1, WIN), exch, exs)
+    )(frames, f1r, f1i, f2r, f2i, twr, twi,
+      hann.reshape(1, WIN), g2.reshape(1, WIN))
     return mid, side
+
+
+def stft_pooled_pallas(l, r, rate: int, wchunk: int | None = None,
+                       interpret: bool = False, dtype=jnp.float32):
+    """l, r: (B, N) channel signals -> (mid_db, side_db): (B, nw, BANDS).
+
+    Separate-channel convenience over `stft_pooled_pallas_packed` (the
+    stack is one copy; callers that already hold (B, 2, N) should use the
+    packed entry directly)."""
+    return stft_pooled_pallas_packed(
+        jnp.stack([l, r], axis=1), rate, wchunk=wchunk,
+        interpret=interpret, dtype=dtype)
