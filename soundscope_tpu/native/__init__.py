@@ -20,7 +20,7 @@ _lib = None
 
 
 _SOURCES = ("decoder.cpp", "flac.cpp", "mp3.cpp", "codecs.cpp",
-            "demux.cpp", "alac.cpp", "vorbis.cpp")
+            "demux.cpp", "alac.cpp", "vorbis.cpp", "aac.cpp")
 
 
 def _libav_headers() -> bool:
@@ -136,6 +136,8 @@ def _load():
     lib.ss_decode_alac.restype = ctypes.c_int
     lib.ss_decode_vorbis.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_vorbis.restype = ctypes.c_int
+    lib.ss_decode_aac.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
+    lib.ss_decode_aac.restype = ctypes.c_int
     lib.ss_decode_any.argtypes = [ctypes.c_char_p, ctypes.POINTER(DecodedWav)]
     lib.ss_decode_any.restype = ctypes.c_int
     lib.ss_decode_any_fmt.argtypes = [
@@ -234,6 +236,14 @@ class decoder:
         Ogg payloads (opus/flac/speex) error out so the caller can fall
         back to the bridge."""
         return _decode_with("ss_decode_vorbis", path, "Ogg-Vorbis")
+
+    @staticmethod
+    def decode_aac(path: str):
+        """First-party AAC-LC decoder (native/aac.cpp): ADTS and
+        MP4/M4A containers, long+short windows, both window shapes,
+        M/S + intensity stereo, TNS, PNS, pulses. Tables measured
+        clean-room (tools/aac_extract)."""
+        return _decode_with("ss_decode_aac", path, "AAC")
 
     @staticmethod
     def decode_any(path: str):

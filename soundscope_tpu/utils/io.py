@@ -317,14 +317,25 @@ def decode_file(path: str, prefer_native: bool = True) -> DecodedAudio:
         except DecodeError:
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
-    if ext in ("m4a", "m4b", "mp4", "m4r", "m4p", "caf", "alac") and nat is not None:
+    if ext == "aac" and nat is not None:
         try:
-            # first-party ALAC + MP4/CAF demux (and CAF LPCM); an
-            # AAC-bearing MP4 errors out here and falls to the bridge
-            return nat.decode_alac(path)
+            # first-party AAC-LC (ADTS); non-LC payloads fall through
+            return nat.decode_aac(path)
         except DecodeError:
             if not nat.codecs_available() and _ffmpeg_bin() is None:
                 raise
+    if ext in ("m4a", "m4b", "mp4", "m4r", "m4p", "caf", "alac") and nat is not None:
+        try:
+            # first-party ALAC + MP4/CAF demux (and CAF LPCM); an
+            # AAC-bearing MP4 errors out here and tries the first-party
+            # AAC-LC decoder next
+            return nat.decode_alac(path)
+        except DecodeError:
+            try:
+                return nat.decode_aac(path)
+            except DecodeError:
+                if not nat.codecs_available() and _ffmpeg_bin() is None:
+                    raise
     if nat is not None and nat.codecs_available():
         try:
             return nat.decode_any(path)

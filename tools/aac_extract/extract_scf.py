@@ -48,9 +48,10 @@ def _decode(blob: bytes):
     forces the adts demuxer."""
     from soundscope_tpu.native import decoder
 
-    open("/tmp/aacprobe.aac", "wb").write(blob)
+    path = f"/tmp/aacprobe.{os.getpid()}.aac"
+    open(path, "wb").write(blob)
     try:
-        d = decoder.decode_any_fmt("/tmp/aacprobe.aac", "aac")
+        d = decoder.decode_any_fmt(path, "aac")
         return np.asarray(d.samples)
     except Exception:
         return None

@@ -67,12 +67,23 @@ def _sce_dse(ics: Ics, payload: bytes) -> bytes:
     return adts_frame(w.to_bytes((len(w) + 7) // 8))
 
 
+_PROBE_PATH = None
+
+
 def _decode(blob: bytes):
+    """Decode a crafted ADTS blob via the libav oracle.
+
+    The scratch file is PER-PROCESS (pid-stamped): two concurrently
+    running extraction scripts previously raced on a shared /tmp path,
+    silently corrupting each other's parse verdicts."""
+    global _PROBE_PATH
     from soundscope_tpu.native import decoder
 
-    open("/tmp/aacspec.aac", "wb").write(blob)
+    if _PROBE_PATH is None:
+        _PROBE_PATH = f"/tmp/aacspec.{os.getpid()}.aac"
+    open(_PROBE_PATH, "wb").write(blob)
     try:
-        d = decoder.decode_any_fmt("/tmp/aacspec.aac", "aac")
+        d = decoder.decode_any_fmt(_PROBE_PATH, "aac")
         return np.asarray(d.samples)
     except Exception:
         return None

@@ -59,7 +59,8 @@ class Ics:
 
     def __init__(self, global_gain=100, window_sequence=0, window_shape=0,
                  max_sfb=0, scale_factor_grouping=0,
-                 sections=(), scf_bits="", spectral_bits=""):
+                 sections=(), scf_bits="", spectral_bits="",
+                 tns_bits="", pulse_bits=""):
         # sections: list of (codebook, run_length_in_sfbs)
         self.global_gain = global_gain
         self.window_sequence = window_sequence
@@ -69,6 +70,10 @@ class Ics:
         self.sections = list(sections)
         self.scf_bits = scf_bits
         self.spectral_bits = spectral_bits
+        # raw tns_data()/pulse_data() payloads (without the present
+        # flag); non-empty sets the corresponding present flag
+        self.tns_bits = tns_bits
+        self.pulse_bits = pulse_bits
 
     def write(self, w: BitWriter):
         w.put(self.global_gain, 8)
@@ -100,8 +105,10 @@ class Ics:
                                                            self.max_sfb)
         # scale_factor_data: caller-supplied raw bits (measured layouts)
         w.put_bits(self.scf_bits)
-        w.put(0, 1)                         # pulse_data_present
-        w.put(0, 1)                         # tns_data_present
+        w.put(1 if self.pulse_bits else 0, 1)   # pulse_data_present
+        w.put_bits(self.pulse_bits)
+        w.put(1 if self.tns_bits else 0, 1)     # tns_data_present
+        w.put_bits(self.tns_bits)
         w.put(0, 1)                         # gain_control_data_present
         w.put_bits(self.spectral_bits)
 
