@@ -120,20 +120,32 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
         m, sde = stft(x)
         return (res.integrated_lufs, res.lra, res.true_peak, m, sde)
 
+    # one fused program per iteration: analyze + stft + finite-sum
+    # reduction in a single dispatch (three per-iteration dispatches
+    # through the axon relay cost ~2 ms each in host latency)
+    @jax.jit
+    def step(x, n_valid):
+        res = analyze(x, n_valid)
+        m, sde = stft(x)
+        out = (res.integrated_lufs, res.lra, res.true_peak, m, sde)
+        return sum(jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0)) for v in out)
+
     reduce_all = jax.jit(
         lambda out: sum(jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0)) for v in out)
     )
 
     def make_inputs():
         # generate ON DEVICE: host->device transfer through the dev tunnel
-        # is slow and is not what this benchmark measures
+        # is slow and is not what this benchmark measures. Rows layout
+        # (b*ch, N): the layout real uploads use (channel-minor), and the
+        # one the engine's Pallas kernels consume without a relayout.
         import jax.random as jr
 
         x = jr.normal(jr.PRNGKey(0), (b, 2, n), jnp.float32) * 0.1
         n_valid = jnp.full((b,), n, jnp.int32)
         return x, n_valid
 
-    return run, reduce_all, make_inputs, n
+    return run, step, reduce_all, make_inputs, n
 
 
 def _enable_compile_cache():
@@ -162,7 +174,7 @@ def main():
     stft_mode = os.environ.get("BENCH_STFT", default_stft)
     log(f"device: {dev}, tracks={b}, seconds={seconds}, stft={stft_mode}, dtype={dtype_name}")
 
-    run, reduce_all, make_inputs, n = build_bench(b, seconds, rate, dtype_name)
+    run, step, reduce_all, make_inputs, n = build_bench(b, seconds, rate, dtype_name)
     t0 = time.time()
     xd, nd = make_inputs()
     jax.block_until_ready(xd)
@@ -181,7 +193,7 @@ def main():
     # (b) nothing can be lazily skipped — block_until_ready alone is NOT a
     # reliable completion barrier through the relay. A single synced
     # iteration is logged for reference.
-    reduce_all(run(xd, nd)).block_until_ready()  # warm the reducer
+    step(xd, nd).block_until_ready()  # warm the fused step
     t0 = time.time()
     out = run(xd, nd)
     jax.block_until_ready(out)
@@ -200,7 +212,7 @@ def main():
         with profile_trace(prof_dir):
             acc = jnp.float32(0.0)
             for _ in range(3):
-                acc = acc + reduce_all(run(xd, nd))
+                acc = acc + step(xd, nd)
             float(acc)
         log(f"xprof trace written to {prof_dir}")
 
@@ -210,7 +222,7 @@ def main():
         t0 = time.time()
         acc = jnp.float32(0.0)
         for _ in range(inner):
-            acc = acc + reduce_all(run(xd, nd))
+            acc = acc + step(xd, nd)
         acc_host = float(acc)  # forces the full chain
         dt = (time.time() - t0) / inner
         best = min(best, dt)

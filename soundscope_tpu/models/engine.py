@@ -65,11 +65,19 @@ def analyze_batch_native(cfg: MeterConfig):
     w_tuple = tuple(float(v) for v in channel_weights(cfg.channels))
 
     def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
-        b, ch, n = samples.shape
+        # Rows layout (b*ch, N) skips the (b, ch, N) -> (b*ch, N)
+        # relayout XLA otherwise emits before every Pallas kernel
+        # (T(2,128) -> T(8,128) retiling, ~3.4 ms/iter on the 32x60 s
+        # bench shape — round-4 chip trace). Upload batches channel-minor
+        # and pass them 2D to get the fast path; 3D still works.
+        if samples.ndim == 2:
+            ch = cfg.channels
+            b, n = samples.shape[0] // ch, samples.shape[1]
+        else:
+            b, ch, n = samples.shape
         use_pallas = cfg.iir_impl == "pallas" or (
             cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
         )
-        nv = n_valid[:, None, None]
         if use_pallas and n % cfg.block == 0:
             # fused: filter + mask + weighted-square + channel-sum in one
             # Pallas pass; y never touches HBM. When the 100 ms sub-block
@@ -91,7 +99,9 @@ def analyze_batch_native(cfg: MeterConfig):
             sums = z[..., : nb_sub * (h // g)].reshape(
                 b, nb_sub, h // g).sum(axis=-1)
         else:
-            y, _ = block_iir(bf, samples, jnp.zeros((b, ch, 4), jnp.float32))
+            s3 = samples.reshape(b, ch, n)
+            nv = n_valid[:, None, None]
+            y, _ = block_iir(bf, s3, jnp.zeros((b, ch, 4), jnp.float32))
             pos = jnp.arange(n)
             y = jnp.where(pos[None, None, :] < nv, y, 0.0)
             z = L.weighted_square(y, weights)
@@ -134,8 +144,10 @@ def analyze_batch_native(cfg: MeterConfig):
             from soundscope_tpu.ops.pallas_truepeak import true_peak_pallas
 
             tp, sp = true_peak_pallas(samples, n_valid, cfg.rate)
+            tp, sp = tp.reshape(b, ch), sp.reshape(b, ch)
         else:
-            tp, sp = true_peak_masked(samples, nv, cfg.rate)
+            tp, sp = true_peak_masked(samples.reshape(b, ch, n),
+                                      n_valid[:, None, None], cfg.rate)
         return AnalysisResult(
             integrated_lufs=integrated, lra=lra,
             momentary=momentary, shortterm=shortterm,

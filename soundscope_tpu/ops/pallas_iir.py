@@ -247,7 +247,12 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, ch, n = x.shape
+    if x.ndim == 2:  # rows layout: (b*ch, N), channel-minor
+        ch = len(weights)
+        b, n = x.shape[0] // ch, x.shape[1]
+    else:
+        b, ch, n = x.shape
+
     B = bf_Tt.shape[0]
     nb = n // B
     n_state = bf_Wt.shape[1]
@@ -363,7 +368,11 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, ch, n = x.shape
+    if x.ndim == 2:  # rows layout: (b*ch, N), channel-minor
+        ch = len(weights)
+        b, n = x.shape[0] // ch, x.shape[1]
+    else:
+        b, ch, n = x.shape
     B = bf_Tt.shape[0]
     nb = n // B
     ns = bf_Wt.shape[1]
@@ -444,7 +453,11 @@ def kweight_energy_pallas_auto(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     whose nb has no small divisors within the VMEM budget — it is pure
     overhead over the sequential chain (measured 180 ms vs 146 ms per
     scan), so fall back to the sequential kernel there."""
-    b, ch, n = x.shape
+    if x.ndim == 2:  # rows layout: (b*ch, N), channel-minor
+        ch = len(weights)
+        b, n = x.shape[0] // ch, x.shape[1]
+    else:
+        b, ch, n = x.shape
     B = bf_Tt.shape[0]
     nb = n // B
     kpg = pick_kpg_prefix(nb, b * ch, b, B, bf_Wt.shape[1])

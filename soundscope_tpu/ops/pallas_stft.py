@@ -158,89 +158,67 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
 
         w = hann[:].reshape(1, N1, N2)
         # time-domain mid/side, packed as z = mid + i*side: the conjugate
-        # split below then yields |M|^2 and |S|^2 directly. The sum is
-        # taken in f32 even when the scratch streams bf16.
+        # split below then yields |M|^2 and |S|^2 directly. The sums run
+        # in f32; the packed operands convert to the matmul dtype ONCE
+        # (per-mml conversion was ~1/3 of the kernel's VPU time).
         wl = win_l[:].astype(jnp.float32)
         wr = win_r[:].astype(jnp.float32)
-        zr = (wl + wr) * (0.5 * w)                        # (wchunk, N1, N2)
-        zi = (wl - wr) * (0.5 * w)
+        zr = ((wl + wr) * (0.5 * w)).astype(dtype)       # (wchunk, N1, N2)
+        zi = ((wl - wr) * (0.5 * w)).astype(dtype)
 
         hi = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
               else jax.lax.Precision.HIGHEST)
 
-        def mxu(a):
-            return a.astype(dtype)
-
-        def mml(x, f):
-            """Contract x's LAST axis with f (c, b), merging the leading
-            dims first: one (w*128, 128) @ (128, 128) MXU matmul instead
-            of w small ones (leading-dim merge is a free re-tiling)."""
-            lead = x.shape[:-1]
-            y = jax.lax.dot_general(
-                mxu(x.reshape(-1, x.shape[-1])), mxu(f),
-                (((1,), (0,)), ((), ())),
-                precision=hi, preferred_element_type=jnp.float32,
-            )
-            return y.reshape(*lead, f.shape[1])
+        def mm1(x, f):
+            """Contract the MIDDLE axis of (w, n1, n2) with f (n1, k):
+            -> (w, n2, k). Mosaic's direct middle-axis lowering trades a
+            few percent of MXU throughput for zero VPU transposes — and
+            this kernel is VPU-bound, not MXU-bound (measured: halving
+            the stage-2 matmul volume moved nothing)."""
+            return jax.lax.dot_general(
+                x, f.astype(dtype), (((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32)
 
         def fft_both(xr, xi):
-            """Z[k] AND Z[-k] in (w, k1, k2) layout from one shared
-            stage 1.
+            """Z[k] AND Z[-k] in (w, k1, k2<64) layout, one shared
+            stage 1, no transposes anywhere.
 
             Z[-k] is the transform with every constant conjugated (it
-            never needs an index reversal, which Mosaic cannot express
-            cheaply). The conjugate path's stage 1 recombines the SAME
-            four matmul products as the forward path (sign flips only),
-            so the doubled output costs 12 matmul-units per window
-            instead of the 16 the old permutation-matmul reversal paid —
-            and at full f32-accumulate precision, with no bf16 hi/lo
-            gather splits. f1/f2/tw are symmetric (value depends only on
-            the index product), so transposed layouts reuse the same
-            constants."""
-            xrt = jnp.swapaxes(xr, 1, 2)       # (w, n2, n1)
-            xit = jnp.swapaxes(xi, 1, 2)
-            p1 = mml(xrt, f1r[:])              # shared stage-1 products
-            p2 = mml(xit, f1i[:])
-            p3 = mml(xit, f1r[:])
-            p4 = mml(xrt, f1i[:])
-            ar, ai = p1 - p2, p3 + p4          # (w, n2, k1)   forward
+            never needs an index reversal). The conjugate path's stage 1
+            recombines the SAME four matmul products as the forward path
+            (sign flips only). f1/f2/tw are symmetric, so the (n2, k1)
+            intermediate layout reuses the same constants, and stage 2
+            contracts n2 in the middle axis directly."""
+            p1 = mm1(xr, f1r[:])               # (w, n2, k1) shared
+            p2 = mm1(xi, f1i[:])
+            p3 = mm1(xi, f1r[:])
+            p4 = mm1(xr, f1i[:])
+            ar, ai = p1 - p2, p3 + p4          # forward
             cr, ci = p1 + p2, p3 - p4          # conj-constant path
-            br = ar * twr[:] - ai * twi[:]     # tw[k1,n2] == tw[n2,k1]
-            bi = ar * twi[:] + ai * twr[:]
-            dr = cr * twr[:] + ci * twi[:]     # x conj(tw)
-            di = ci * twr[:] - cr * twi[:]
-            brt = jnp.swapaxes(br, 1, 2)       # (w, k1, n2)
-            bit = jnp.swapaxes(bi, 1, 2)
-            drt = jnp.swapaxes(dr, 1, 2)
-            dit = jnp.swapaxes(di, 1, 2)
-            yr = mml(brt, f2r[:]) - mml(bit, f2i[:])   # (w, k1, k2)
-            yi = mml(brt, f2i[:]) + mml(bit, f2r[:])
-            vr = mml(drt, f2r[:]) + mml(dit, f2i[:])   # x conj(f2)
-            vi = mml(dit, f2r[:]) - mml(drt, f2i[:])
+            br = (ar * twr[:] - ai * twi[:]).astype(dtype)
+            bi = (ar * twi[:] + ai * twr[:]).astype(dtype)
+            dr = (cr * twr[:] + ci * twi[:]).astype(dtype)
+            di = (ci * twr[:] - cr * twi[:]).astype(dtype)
+            yr = mm1(br, f2r[:]) - mm1(bi, f2i[:])   # (w, k1, k2)
+            yi = mm1(br, f2i[:]) + mm1(bi, f2r[:])
+            vr = mm1(dr, f2r[:]) + mm1(di, f2i[:])   # x conj(f2)
+            vi = mm1(di, f2r[:]) - mm1(dr, f2i[:])
             return yr, yi, vr, vi
 
-        HALF = WIN // 2
-        HB = BANDS // 2  # bands covering k < WIN/2; gain is 0 above Nyquist
-
-        def flatten_half(t):
-            # k = k1 + N1*k2 -> (k2, k1)-major flatten, keeping k2 < N2/2
-            # (the only bands with nonzero display gain)
-            return jnp.swapaxes(t, 1, 2)[:, : N2 // 2, :].reshape(wchunk, HALF)
+        HB = BANDS // 2  # bands covering k < WIN/2; gain is 0 above
 
         yr3, yi3, vr3, vi3 = fft_both(zr, zi)
-        zr_f = flatten_half(yr3)
-        zi_f = flatten_half(yi3)
-        zr_rev = flatten_half(vr3)
-        zi_rev = flatten_half(vi3)
-        p = zr_f * zr_f + zi_f * zi_f
-        p_rev = zr_rev * zr_rev + zi_rev * zi_rev
-        c = zr_f * zr_rev - zi_f * zi_rev
-        g = g2[:, :HALF]
-        mid_p = 0.25 * (p + p_rev + 2.0 * c) * g
-        side_p = 0.25 * (p + p_rev - 2.0 * c) * g
+        p = yr3 * yr3 + yi3 * yi3                 # (w, k1, k2)
+        p_rev = vr3 * vr3 + vi3 * vi3
+        c = yr3 * vr3 - yi3 * vi3
+        # g2 arrives as the (k1, k2) matrix; with per == N1, display
+        # band b is EXACTLY column k2 = b (k = k1 + 128*k2), so pooling
+        # is a plain max over the k1 axis — no flatten, no transpose.
+        g = g2[:].reshape(1, N1, N2 // 2)
+        mid_p = jnp.max(0.25 * (p + p_rev + 2.0 * c) * g, axis=1)
+        side_p = jnp.max(0.25 * (p + p_rev - 2.0 * c) * g, axis=1)
 
-        def pool(x):
-            pm = jnp.max(x.reshape(wchunk, HB, per), axis=-1)
+        def pool(pm):
             db = jnp.where(
                 pm > 0.0,
                 10.0 * jnp.log10(jnp.maximum(pm, 1e-38)),
@@ -251,8 +229,10 @@ def _make_kernel(wchunk: int, per: int, dtype=jnp.float32):
                              jnp.float32)
             return jnp.concatenate([db, floor], axis=-1)
 
-        mid_out[0] = pool(mid_p)
-        side_out[0] = pool(side_p)
+        mid_p = pool(mid_p)
+        side_p = pool(side_p)
+        mid_out[0] = mid_p
+        side_out[0] = side_p
 
     return kernel
 
@@ -304,12 +284,20 @@ def stft_pooled_pallas_packed(x, rate: int, wchunk: int | None = None,
                          memory_space=pl.ANY),
             pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N1, N1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N2, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N2, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            # stage-2 DFT matrices column-sliced to k2 < N2/2: outputs
+            # k = k1 + 128*k2 >= WIN/2 have zero display gain, so the
+            # second FFT stage needn't compute them (-1/3 of the
+            # kernel's matmul volume)
+            pl.BlockSpec((N2, N2 // 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N2, N2 // 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((N1, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N1, N2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WIN), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            # g2 as the (k1, k2 < N2/2) matrix (band b == column k2 = b)
+            pl.BlockSpec((N1, N2 // 2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
     ]
     out_specs = [
             pl.BlockSpec((1, wchunk, BANDS), lambda i, j: (i, j, 0),
@@ -317,6 +305,9 @@ def stft_pooled_pallas_packed(x, rate: int, wchunk: int | None = None,
             pl.BlockSpec((1, wchunk, BANDS), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
     ]
+    assert per == N1, "column pooling requires per-band width == N1"
+    g2_mat = np.ascontiguousarray(
+        np.asarray(g2)[: WIN // 2].reshape(N2 // 2, N1).T)  # (k1, k2)
     mid, side = pl.pallas_call(
         kernel,
         grid=grid,
@@ -339,8 +330,8 @@ def stft_pooled_pallas_packed(x, rate: int, wchunk: int | None = None,
             pltpu.SemaphoreType.DMA((2 * wchunk,)),
         ],
         interpret=interpret,
-    )(frames, f1r, f1i, f2r, f2i, twr, twi,
-      hann.reshape(1, WIN), g2.reshape(1, WIN))
+    )(frames, f1r, f1i, f2r[:, : N2 // 2], f2i[:, : N2 // 2], twr, twi,
+      hann.reshape(1, WIN), g2_mat)
     return mid, side
 
 
