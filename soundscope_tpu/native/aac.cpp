@@ -922,6 +922,15 @@ struct Decoder {
             if (ms_mask == 1 && ms_used[g][k]) sgn = -sgn;
             for (int i = lo; i < hi; i++)
               r.coef[base + i] = sgn * scale * l.coef[base + i];
+          } else if (ms && rcb == CB_NOISE &&
+                     l.band_cb[g][k] == CB_NOISE) {
+            // ms_used on a noise band means CORRELATED noise: the right
+            // channel reuses the left channel's noise vector, rescaled
+            // to its own energy (amplitude ratio 2^((sf_r - sf_l)/4))
+            float scale =
+                (float)std::pow(2.0, 0.25 * (r.sf[g][k] - l.sf[g][k]));
+            for (int i = lo; i < hi; i++)
+              r.coef[base + i] = scale * l.coef[base + i];
           } else if (ms && rcb != CB_NOISE &&
                      l.band_cb[g][k] != CB_NOISE) {
             for (int i = lo; i < hi; i++) {

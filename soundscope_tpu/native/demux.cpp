@@ -74,12 +74,48 @@ bool is_audio_entry(uint32_t cc) {
 // audio track with the wanted sample entry. `file_size` bounds the
 // index tables a crafted file can make us allocate.
 bool parse_trak(const uint8_t* data, size_t file_size, const Box& trak,
-                uint32_t want, Track* out) {
+                uint32_t want, uint32_t movie_ts, Track* out) {
   Box mdia, minf, stbl;
   if (!find_child(data, trak.body, trak.end, fourcc("mdia"), &mdia) ||
       !find_child(data, mdia.body, mdia.end, fourcc("minf"), &minf) ||
       !find_child(data, minf.body, minf.end, fourcc("stbl"), &stbl))
     return false;
+
+  // --- edit list: encoder priming + valid duration (MP4's standard
+  // delay signalling, written by every mainstream muxer) ---
+  uint32_t media_ts = 0;
+  Box mdhd;
+  if (find_child(data, mdia.body, mdia.end, fourcc("mdhd"), &mdhd) &&
+      mdhd.end - mdhd.body >= 20) {
+    const uint8_t* h = data + mdhd.body;
+    media_ts = h[0] == 1 ? be32(h + 20) : be32(h + 12);
+  }
+  Box edts, elst;
+  if (find_child(data, trak.body, trak.end, fourcc("edts"), &edts) &&
+      find_child(data, edts.body, edts.end, fourcc("elst"), &elst) &&
+      elst.end - elst.body >= 8) {
+    const uint8_t* el = data + elst.body;
+    int ver = el[0];
+    uint32_t cnt = be32(el + 4);
+    size_t ep = 8;
+    size_t esz = ver == 1 ? 20 : 12;
+    // skip leading empty edits (media_time == -1 inserts silence; the
+    // players this mirrors start at the first real segment)
+    for (uint32_t i = 0; i < cnt && ep + esz <= (size_t)(elst.end -
+                                                         elst.body); i++) {
+      uint64_t seg_dur = ver == 1 ? be64(el + ep) : be32(el + ep);
+      int64_t media_t = ver == 1
+          ? (int64_t)be64(el + ep + 8)
+          : (int64_t)(int32_t)be32(el + ep + 4);
+      ep += esz;
+      if (media_t < 0) continue;  // empty edit
+      out->priming_frames = media_t;
+      if (movie_ts > 0 && media_ts > 0 && seg_dur > 0)
+        out->valid_frames =
+            (int64_t)((double)seg_dur * media_ts / movie_ts + 0.5);
+      break;
+    }
+  }
 
   Box stsd, stsz, stsc, stco;
   bool co64 = false;
@@ -188,11 +224,20 @@ bool parse_mp4(const uint8_t* data, size_t n, uint32_t want, Track* out) {
   while (next_box(data, n, &pos, &top)) {
     if (top.type != fourcc("moov")) continue;
     size_t tp = top.body;
+    uint32_t movie_ts = 0;
+    {
+      Box mvhd;
+      if (find_child(data, top.body, top.end, fourcc("mvhd"), &mvhd) &&
+          mvhd.end - mvhd.body >= 20) {
+        const uint8_t* h = data + mvhd.body;
+        movie_ts = h[0] == 1 ? be32(h + 20) : be32(h + 12);
+      }
+    }
     Box trak;
     while (next_box(data, top.end, &tp, &trak)) {
       if (trak.type != fourcc("trak")) continue;
       Track t;
-      if (parse_trak(data, n, trak, want, &t)) {
+      if (parse_trak(data, n, trak, want, movie_ts, &t)) {
         *out = std::move(t);
         return true;
       }

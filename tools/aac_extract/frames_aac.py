@@ -88,21 +88,29 @@ class Ics:
         else:
             w.put(self.max_sfb, 6)
             w.put(0, 1)                     # predictor_data_present
-        # section_data
+        # section_data — sections repeat per GROUP for short sequences
+        # (num_groups = popcount(~grouping) + 1); crafted frames pass
+        # either a flat per-group-repeated list or one group's worth
+        # that is reused for every group
         sect_bits = 3 if short else 5
         esc = (1 << sect_bits) - 1
-        covered = 0
-        for cb, run in self.sections:
+        n_groups = 1
+        if short:
+            n_groups = 1 + bin(~self.scale_factor_grouping & 0x7F).count("1")
+        sections = list(self.sections)
+        covered = sum(run for _, run in sections)
+        if covered == self.max_sfb and n_groups > 1:
+            sections = sections * n_groups
+            covered *= n_groups
+        for cb, run in sections:
             w.put(cb, 4)
             r = run
             while r >= esc:
                 w.put(esc, sect_bits)
                 r -= esc
             w.put(r, sect_bits)
-            covered += run
-        n_windows_groups = 1  # crafted frames use one group
-        assert covered == self.max_sfb * n_windows_groups, (covered,
-                                                           self.max_sfb)
+        assert covered == self.max_sfb * n_groups, (covered, self.max_sfb,
+                                                   n_groups)
         # scale_factor_data: caller-supplied raw bits (measured layouts)
         w.put_bits(self.scf_bits)
         w.put(1 if self.pulse_bits else 0, 1)   # pulse_data_present

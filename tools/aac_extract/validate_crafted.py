@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                 "mp3_extract"))
 
 from frames import BitWriter  # noqa: E402
-from frames_aac import Ics, sce_frame, silence_frame, RATE_INDEX  # noqa: E402
+from frames_aac import (Ics, adts_frame, sce_frame, silence_frame,  # noqa: E402
+                        RATE_INDEX)
 
 _BOOKS = json.load(open(os.path.join(os.path.dirname(__file__),
                                      "spectral_books.json")))
@@ -41,6 +42,8 @@ _SCF = json.load(open(os.path.join(os.path.dirname(__file__),
 
 # book-5 codewords by value pair (signed 2-tuples)
 _B5 = {tuple(v): k for k, v in _BOOKS["5"]["units"].items()}
+# scalefactor codewords by dpcm delta
+_SCF_CW = {v: k for k, v in _SCF["codewords"].items()}
 
 
 def b5_bits(pairs):
@@ -68,6 +71,81 @@ def tns_bits(filters, short=False, coef_res=0, n_windows=1):
                 for c in coefs:
                     w.put(c & ((1 << bits) - 1), bits)
     return "".join(str(b) for b in w.bits)
+
+
+def cpe_frame(ics_l, ics_r, ms_mask=0, ms_bits="", rate=48000,
+              common=True):
+    """channel_pair_element with common_window; ics_l/ics_r carry the
+    per-channel gains/sections/scf/spectral, ics_l's ics_info is
+    shared."""
+    w = BitWriter()
+    w.put(1, 3)                    # CPE
+    w.put(0, 4)                    # tag
+    w.put(1 if common else 0, 1)
+    short = ics_l.window_sequence == 2
+
+    def write_info(ics):
+        w.put(0, 1)
+        w.put(ics.window_sequence, 2)
+        w.put(ics.window_shape, 1)
+        if short:
+            w.put(ics.max_sfb, 4)
+            w.put(ics.scale_factor_grouping, 7)
+        else:
+            w.put(ics.max_sfb, 6)
+            w.put(0, 1)
+
+    def write_body(ics):
+        w.put(ics.global_gain, 8)
+        sect_bits = 3 if short else 5
+        esc = (1 << sect_bits) - 1
+        ngroups = 1
+        if short:
+            ngroups = 1 + bin(~ics.scale_factor_grouping & 0x7F).count("1")
+        sections = list(ics.sections)
+        covered = sum(run for _, run in sections)
+        if covered == ics.max_sfb and ngroups > 1:
+            sections = sections * ngroups
+        for cb, run in sections:
+            w.put(cb, 4)
+            r = run
+            while r >= esc:
+                w.put(esc, sect_bits)
+                r -= esc
+            w.put(r, sect_bits)
+        w.put_bits(ics.scf_bits)
+        w.put(1 if ics.pulse_bits else 0, 1)
+        w.put_bits(ics.pulse_bits)
+        w.put(1 if ics.tns_bits else 0, 1)
+        w.put_bits(ics.tns_bits)
+        w.put(0, 1)
+        w.put_bits(ics.spectral_bits)
+
+    if common:
+        write_info(ics_l)
+        w.put(ms_mask, 2)
+        if ms_mask == 1:
+            w.put_bits(ms_bits)
+        write_body(ics_l)
+        write_body(ics_r)
+    else:
+        # each channel carries its own ics_info inside its ICS
+        w.put(ics_l.global_gain, 8)  # placeholder — not used
+        raise NotImplementedError("crafted CPE uses common_window")
+    w.put(7, 3)                    # END
+    payload = w.to_bytes((len(w) + 7) // 8)
+    return adts_frame(payload, rate=rate, channels=2)
+
+
+def silence2(rate=48000):
+    """Stereo silence frame (CPE, max_sfb=0)."""
+    z = Ics(max_sfb=0)
+    return cpe_frame(z, z, rate=rate)
+
+
+def stream2(frame, rate=48000):
+    s = silence2(rate=rate)
+    return s * 2 + frame + s * 3
 
 
 def decode_ours(blob):
@@ -188,6 +266,77 @@ def battery():
                       stream(sce_frame(ics, rate=rate), rate=rate),
                       rate=rate)
     ok &= window_battery()
+    ok &= cpe_battery()
+    return ok
+
+
+def cpe_battery():
+    """Stereo tools under common_window: M/S (full + masked), intensity
+    (both phases, with and without ms interaction), per-channel TNS,
+    and the combination that broke on real encodes: SHORT sequences
+    with irregular grouping + per-(group, band) M/S mask."""
+    ok = True
+    cyc_l = [(2, 1), (1, -1), (-2, 1), (3, 0)]
+    cyc_r = [(0, 2), (-1, 1), (1, 1), (-2, -1)]
+
+    def content(rate, nband, short=False, cyc=None):
+        swb = _SWB[str(rate)]["short" if short else "long"]
+        nwin = 8 if short else 1
+        pairs = []
+        i = 0
+        for b in range(nband):
+            wdt = swb[b + 1] - swb[b]
+            for _ in range(wdt // 2 * nwin):
+                pairs.append(cyc[i % len(cyc)])
+                i += 1
+        return b5_bits(pairs)
+
+    def mk(nband=8, short=False, grouping=0, gg=135, cyc=cyc_l, tns=""):
+        ng = (1 + bin(~grouping & 0x7F).count("1")) if short else 1
+        return Ics(global_gain=gg, window_sequence=2 if short else 0,
+                   scale_factor_grouping=grouping, max_sfb=nband,
+                   sections=[(5, nband)], scf_bits="0" * (nband * ng),
+                   spectral_bits=content(48000, nband, short, cyc),
+                   tns_bits=tns)
+
+    # long-window M/S: off, all, masked
+    for mask, bits, name in ((0, "", "off"), (2, "", "all"),
+                             (1, "10101010", "masked")):
+        blob = stream2(cpe_frame(mk(), mk(cyc=cyc_r), ms_mask=mask,
+                                 ms_bits=bits))
+        ok &= compare(f"cpe ms {name}", blob)
+    # short grouped + per-(group, band) M/S mask — the real-encode case
+    for grouping in (0x33, 0x6D):
+        ng = 1 + bin(~grouping & 0x7F).count("1")
+        bits = "".join("10"[(g + k) % 2] for g in range(ng)
+                       for k in range(4))
+        l = mk(nband=4, short=True, grouping=grouping)
+        r = mk(nband=4, short=True, grouping=grouping, cyc=cyc_r)
+        blob = stream2(cpe_frame(l, r, ms_mask=1, ms_bits=bits))
+        ok &= compare(f"cpe short grouped ms 0x{grouping:02x}", blob)
+    # per-channel TNS on a CPE (left only, then both, different orders)
+    t1 = tns_bits([[(49, 1, 0, 0, [1])]])
+    t2 = tns_bits([[(49, 2, 0, 0, [2, 1])]])
+    blob = stream2(cpe_frame(mk(tns=t1), mk(cyc=cyc_r), ms_mask=0))
+    ok &= compare("cpe tns left-only", blob)
+    blob = stream2(cpe_frame(mk(tns=t1), mk(cyc=cyc_r, tns=t2), ms_mask=2))
+    ok &= compare("cpe tns both + ms all", blob)
+    # intensity stereo: right bands ride book 15 (in-phase) / 14 (out),
+    # is_pos dpcm via the scf book; no right spectral data
+    dp0 = _SCF_CW[0]
+    dp2 = _SCF_CW[2]
+    for book, name in ((15, "in"), (14, "out")):
+        l = mk(nband=8)
+        r = Ics(global_gain=135, max_sfb=8, sections=[(book, 8)],
+                scf_bits=dp2 + dp0 * 7, spectral_bits="")
+        blob = stream2(cpe_frame(l, r, ms_mask=0))
+        ok &= compare(f"cpe intensity {name}", blob)
+    # intensity + ms_mask=1 (mask bit flips intensity sign)
+    l = mk(nband=8)
+    r = Ics(global_gain=135, max_sfb=8, sections=[(15, 8)],
+            scf_bits=dp2 + dp0 * 7, spectral_bits="")
+    blob = stream2(cpe_frame(l, r, ms_mask=1, ms_bits="11110000"))
+    ok &= compare("cpe intensity + mask", blob)
     return ok
 
 
@@ -226,6 +375,25 @@ def window_battery():
     s44 = silence_frame(rate=44100)
     blob = s44 + b"".join(frame(q, 0, rate=44100) for q in seqs) + s44 * 2
     ok &= compare("winseq 44100", blob, rate=44100)
+    # short sequences with NON-TRIVIAL window grouping (real encoders
+    # group transient frames irregularly; grouping bit g set means
+    # window g+1 joins the previous group)
+    # content VARIES per unit (a value cycle), so the group-dependent
+    # (group, band, window-interleaved) line ordering is actually
+    # exercised — uniform content is grouping-invariant and vacuous
+    cycle = [(2, 1), (1, -1), (-2, 1), (3, 0), (0, -3), (-1, -1),
+             (4, 2), (-3, 2)]
+    swb_s = _SWB["48000"]["short"]
+    npairs = sum((swb_s[b + 1] - swb_s[b]) // 2 for b in range(4)) * 8
+    varied = b5_bits([cycle[i % len(cycle)] for i in range(npairs)])
+    for grouping in (0x00, 0x33, 0x55, 0x6D, 0x70):
+        ngroups = 1 + bin(~grouping & 0x7F).count("1")
+        ics = Ics(global_gain=135, window_sequence=2,
+                  scale_factor_grouping=grouping, max_sfb=4,
+                  sections=[(5, 4)], scf_bits="0" * (4 * ngroups),
+                  spectral_bits=varied, tns_bits="")
+        blob = s + sce_frame(ics) + s * 2
+        ok &= compare(f"winseq grouping 0x{grouping:02x}", blob)
     return ok
 
 
