@@ -236,7 +236,11 @@ def main():
             float(acc)
         log(f"xprof trace written to {prof_dir}")
 
-    inner = 2  # gang dispatches per repeat (gang iterations each)
+    # The wall/device residual is ONE result-readback RTT through the
+    # axon relay (~31 ms) per timing loop, amortised over inner*gang
+    # iterations — 32 of them put the sustained figure within ~1 ms of
+    # the 34.9 ms device-busy span.
+    inner = 8  # gang dispatches per repeat (gang iterations each)
     best = float("inf")
     for i in range(repeats):
         t0 = time.time()
