@@ -550,13 +550,18 @@ static void build_coefficients(Channel& ch, const int* quant,
   int q2[FRAME];
   memcpy(q2, quant, sizeof(q2));
   if (pulse.present && !short_win) {
-    // pulses add to the quantized magnitudes before dequantization
+    // pulses grow the quantized magnitude away from zero (bitstream
+    // semantics are true-domain; away-from-zero is domain-invariant).
+    // On a ZERO line the true-domain +amp maps through the (-1)^k
+    // line-domain flip: even lines get +amp, odd lines -amp (measured
+    // via empty-spectrum pulse probes, validate_crafted.py).
     int base = ics.swb[pulse.start_sfb];
     for (int i = 0; i < pulse.n; i++) {
       base += pulse.offset[i];
       if (base < FRAME) {
         if (q2[base] < 0) q2[base] -= pulse.amp[i];
-        else q2[base] += pulse.amp[i];
+        else if (q2[base] > 0) q2[base] += pulse.amp[i];
+        else q2[base] = (base & 1) ? -pulse.amp[i] : pulse.amp[i];
       }
     }
   }

@@ -265,8 +265,50 @@ def battery():
         ok &= compare(f"tns long {rate}",
                       stream(sce_frame(ics, rate=rate), rate=rate),
                       rate=rate)
+    ok &= pulse_battery()
     ok &= window_battery()
     ok &= cpe_battery()
+    return ok
+
+
+def pulse_battery():
+    """pulse_data(): number_pulse(2)+1 pulses from start_sfb(6), each
+    offset(5) amp(4); amplitudes ADD to the quantized magnitude (away
+    from zero) before dequantisation. Long windows only."""
+    ok = True
+
+    def pulse_bits(start_sfb, pulses):
+        w = BitWriter()
+        w.put(len(pulses) - 1, 2)
+        w.put(start_sfb, 6)
+        for off, amp in pulses:
+            w.put(off, 5)
+            w.put(amp, 4)
+        return "".join(str(b) for b in w.bits)
+
+    # single pulse on a zero line; on a nonzero positive line; on a
+    # NEGATIVE line (amplitude must grow away from zero); several
+    # pulses chaining offsets across bands
+    cyc = [(2, 1), (-1, 0), (0, -2), (1, 1)]
+    pairs = []
+    swb = _SWB["48000"]["long"]
+    for b in range(8):
+        wdt = swb[b + 1] - swb[b]
+        pairs += [cyc[i % len(cyc)] for i in range(wdt // 2)]
+    spec = b5_bits(pairs)
+
+    def ics_with(pb):
+        return Ics(global_gain=135, max_sfb=8, sections=[(5, 8)],
+                   scf_bits="0" * 8, spectral_bits=spec, pulse_bits=pb)
+
+    cases = [
+        ("pulse zero-line", pulse_bits(0, [(1, 3)])),
+        ("pulse pos-line", pulse_bits(0, [(0, 5)])),
+        ("pulse neg-line", pulse_bits(1, [(1, 4)])),
+        ("pulse multi", pulse_bits(2, [(0, 2), (3, 7), (10, 1), (2, 15)])),
+    ]
+    for name, pb in cases:
+        ok &= compare(name, stream(sce_frame(ics_with(pb))))
     return ok
 
 
