@@ -108,16 +108,17 @@ def test_dispatch_prefers_first_party(tmp_path, monkeypatch):
     assert d.rate == RATE and d.channels == 2
 
 
-def test_aac_m4a_falls_back_to_bridge(tmp_path):
-    """An AAC-bearing MP4 is not ALAC's job: the first-party path must
-    signal cleanly and decode_file must still produce audio."""
+def test_aac_m4a_not_alacs_job(tmp_path):
+    """An AAC-bearing MP4 is not ALAC's job: decode_alac must signal
+    cleanly, and decode_file still produces audio (via the first-party
+    AAC-LC decoder since round 4; see tests/test_aac.py)."""
     dec = _bridge(_native())
     x = _signal("tonal")
     p = str(tmp_path / "a.m4a")
     dec.encode(p, x, RATE, codec="aac")
     with pytest.raises(DecodeError):
         dec.decode_alac(p)
-    d = decode_file(p)  # bridge fallback
+    d = decode_file(p)
     assert d.rate == RATE and d.samples.shape[1] > 0
 
 

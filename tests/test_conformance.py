@@ -254,3 +254,28 @@ def test_shortterm_alternating_levels_max():
     best = _meter_max(np.asarray(x, np.float32), RATE, "shortterm_lufs", 0.1)
     want = 10 * np.log10((10 ** (-20 / 10) + 10 ** (-30 / 10)) / 2)
     assert abs(best - want) < 0.15
+
+
+def test_rows_layout_matches_3d():
+    """analyze() accepts rows-layout (b*ch, N) input (the relayout-free
+    fast path the bench and batch uploads use) and must agree exactly
+    with the (b, ch, N) form."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from soundscope_tpu.core.config import MeterConfig
+    from soundscope_tpu.models.engine import analyze_batch_native
+
+    cfg = MeterConfig(channels=2, rate=48000, max_blocks=0)
+    an = jax.jit(analyze_batch_native(cfg))
+    rng = np.random.default_rng(5)
+    x = (0.2 * rng.standard_normal((3, 2, 48000))).astype(np.float32)
+    nv = jnp.full((3,), 48000, jnp.int32)
+    r3 = an(jnp.asarray(x), nv)
+    r2 = an(jnp.asarray(x.reshape(6, -1)), nv)
+    for a, b in zip(jax.tree_util.tree_leaves(r3),
+                    jax.tree_util.tree_leaves(r2)):
+        assert a.shape == b.shape
+        if a.size:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
