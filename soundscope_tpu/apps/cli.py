@@ -85,10 +85,15 @@ def _analyze_bucket(key, items, results, spectrogram_dir=None,
 
     (ch, rate, npad) = key
     cfg = MeterConfig(channels=ch, rate=rate, max_blocks=0)
-    xs = np.zeros((len(items), ch, npad), np.float32)
+    # rows layout (b*ch, N): uploading channel-minor rows lets the
+    # engine's Pallas kernels consume the batch without the
+    # T(2,128)->T(8,128) relayout XLA inserts for (b, ch, N) input
+    # (~3.4 ms/GB-scale batch on chip; numerically identical, pinned by
+    # tests/test_conformance.py::test_rows_layout_matches_3d)
+    xs = np.zeros((len(items) * ch, npad), np.float32)
     nv = np.zeros(len(items), np.int32)
     for i, (_, d) in enumerate(items):
-        xs[i, :, : d.samples.shape[1]] = d.samples
+        xs[i * ch: i * ch + ch, : d.samples.shape[1]] = d.samples
         nv[i] = d.samples.shape[1]
     fn = jax.jit(analyze_batch_native(cfg))
     with RT.measure("analyze", float(nv.sum()) / rate):

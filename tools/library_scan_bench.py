@@ -39,7 +39,8 @@ def main() -> int:
     print(f"device: {jax.devices()[0]}, tracks={tracks}, {seconds}s each",
           file=sys.stderr, flush=True)
 
-    x = jr.normal(jr.PRNGKey(0), (tracks, 2, n), jnp.float32) * 0.1
+    # rows layout (tracks*2, n): the relayout-free engine fast path
+    x = jr.normal(jr.PRNGKey(0), (tracks * 2, n), jnp.float32) * 0.1
     nv = jnp.full((tracks,), n, jnp.int32)
     fn = jax.jit(analyze_batch_native(cfg))
     reduce_ = jax.jit(lambda r: (
