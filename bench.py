@@ -152,9 +152,14 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
 
     def make_inputs():
         # generate ON DEVICE: host->device transfer through the dev tunnel
-        # is slow and is not what this benchmark measures. Rows layout
-        # (b*ch, N): the layout real uploads use (channel-minor), and the
-        # one the engine's Pallas kernels consume without a relayout.
+        # is slow and is not what this benchmark measures. (b, 2, N)
+        # packed stereo: analyze flattens to rows once (CSE-shared by
+        # the energy + true-peak kernels inside the fused step) and the
+        # STFT kernel builds its frame view from the same array; feeding
+        # rows (b*ch, N) directly instead was measured WORSE here — the
+        # STFT-side relayout becomes a 9.4 ms cross-track gather vs this
+        # layout's 2x3.4 ms (the CLI, which has no display STFT in its
+        # batch path, does upload rows).
         import jax.random as jr
 
         xs = tuple(

@@ -264,7 +264,10 @@ def cmd_warmup(args) -> int:
         n = pad_bucket(1)  # minimum bucket
         while True:
             for bsz in batches:
-                xs = jax.ShapeDtypeStruct((bsz, 2, n), jnp.float32)
+                # rows layout (b*ch, n): the shape _analyze_bucket
+                # actually compiles (keep in lockstep or warmed
+                # programs never match)
+                xs = jax.ShapeDtypeStruct((bsz * 2, n), jnp.float32)
                 nv = jax.ShapeDtypeStruct((bsz,), jnp.int32)
                 t = time.time()
                 fn.lower(xs, nv).compile()  # AOT: no data, cache-persisted

@@ -72,6 +72,7 @@ def build(force: bool = False) -> str:
                   "-ffast-math", "-fPIC", "-std=c++17"]
         import shutil
         import tempfile
+        import time
 
         for want_libav in ([True] if _libav_headers() else []) + [False]:
             defs = ["-DSS_HAVE_LIBAV"] if want_libav else []
@@ -82,6 +83,17 @@ def build(force: bool = False) -> str:
             # CLI + TUI racing) never see each other's intermediates.
             # The temp dir must be on the SAME filesystem as the package
             # (os.replace cannot cross mounts; /tmp is often tmpfs).
+            # A build killed before its finally (SIGKILL, power loss)
+            # strands its dir — sweep siblings older than a day first.
+            try:
+                now = time.time()
+                for st in os.listdir(_DIR):
+                    full = os.path.join(_DIR, st)
+                    if (st.startswith("ssnative-") and os.path.isdir(full)
+                            and now - os.path.getmtime(full) > 86400):
+                        shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
             tmpd = tempfile.mkdtemp(prefix="ssnative-", dir=_DIR)
             try:
                 objs = []

@@ -558,7 +558,7 @@ static void build_coefficients(Channel& ch, const int* quant,
     int base = ics.swb[pulse.start_sfb];
     for (int i = 0; i < pulse.n; i++) {
       base += pulse.offset[i];
-      if (base < FRAME) {
+      if (base >= 0 && base < FRAME) {
         if (q2[base] < 0) q2[base] -= pulse.amp[i];
         else if (q2[base] > 0) q2[base] += pulse.amp[i];
         else q2[base] = (base & 1) ? -pulse.amp[i] : pulse.amp[i];
@@ -777,6 +777,9 @@ static bool decode_ics(Bits& b, Channel& ch, int rate_idx,
   if (b.get(1)) {
     if (ch.ics.window_sequence == SEQ_SHORT) AAC_FAIL("pulse_in_short");
     if (!parse_pulse(b, pulse)) AAC_FAIL("pulse");
+    // start_sfb is a raw 6-bit field; reject out-of-table values like
+    // the oracle ("Pulse data corrupt") instead of indexing past swb
+    if (pulse.start_sfb > ch.ics.num_swb) AAC_FAIL("pulse_start_sfb");
   }
   ch.tns_present = false;
   if (b.get(1)) {
@@ -812,6 +815,20 @@ struct Decoder {
   // returns false on a corrupt block (caller skips the frame, like the
   // reference's decode-error skip at audio_player.rs:261)
   bool decode_block(Bits& b) {
+    // PCM commits must be ATOMIC per block: a multi-element block that
+    // fails after some elements decoded would otherwise leave those
+    // channels one frame ahead for the rest of the stream (the end-only
+    // min() trim cannot re-synchronize a mid-stream desync)
+    std::vector<size_t> sizes(pcm.size());
+    for (size_t i = 0; i < pcm.size(); i++) sizes[i] = pcm[i].size();
+    size_t nch0 = pcm.size();
+    if (decode_block_inner(b)) return true;
+    for (size_t i = 0; i < pcm.size(); i++)
+      pcm[i].resize(i < nch0 ? sizes[i] : 0);
+    return false;
+  }
+
+  bool decode_block_inner(Bits& b) {
     size_t ch_idx = 0;
     float out[FRAME];
     while (!b.err) {
@@ -906,15 +923,18 @@ struct Decoder {
 
   static void stereo_tools(Channel& l, Channel& r, int ms_mask,
                            uint8_t ms_used[8][64], bool common) {
-    if (!common) return;
-    const IcsInfo& ics = l.ics;
+    // M/S needs the shared (common-window) ics; intensity stereo is
+    // signalled purely by the right channel's codebooks and applies in
+    // any CPE, indexed by the right channel's own band layout
+    const IcsInfo& ics = common ? l.ics : r.ics;
     bool short_win = ics.window_sequence == SEQ_SHORT;
     int group_base = 0;
     for (int g = 0; g < ics.num_groups; g++) {
       for (int k = 0; k < ics.max_sfb; k++) {
         int rcb = r.band_cb[g][k];
         bool intensity = rcb == CB_INT || rcb == CB_INT_OOP;
-        bool ms = ms_mask == 2 || (ms_mask == 1 && ms_used[g][k]);
+        bool ms = common &&
+                  (ms_mask == 2 || (ms_mask == 1 && ms_used[g][k]));
         int lo = ics.swb[k], hi = ics.swb[k + 1];
         for (int w = 0; w < ics.group_len[g]; w++) {
           int base = (group_base + w) * (short_win ? SHORT : 0);
@@ -1015,7 +1035,9 @@ static bool parse_asc(const std::vector<uint8_t>& cookie, int* rate_idx,
     }
     if (tag == 0x05) {
       asc = p + pos;
-      asc_len = len;
+      // the descriptor-declared length is attacker-controlled: clamp
+      // to the bytes actually present in the cookie
+      asc_len = len <= n - pos ? len : n - pos;
       break;
     }
     pos += len;                   // skip other descriptors
@@ -1111,8 +1133,12 @@ extern "C" int ss_decode_aac(const char* path, DecodedWavLayout* out) {
   // a healthy LC stream decodes essentially every block; a high skip
   // ratio means an unsupported payload (non-LC object, damaged file) —
   // report failure so the caller can fall back to another path instead
-  // of silently returning a truncated stream
-  if (blocks > 0 && good * 10 < blocks * 9) return -4;
+  // of silently returning a truncated stream. Sporadic corrupt frames
+  // are tolerated (skip-and-continue, like the reference's decode-error
+  // skip), so the gate allows max(2, 10%) bad blocks.
+  int64_t bad = blocks - good;
+  int64_t allowance = blocks / 10 > 2 ? blocks / 10 : 2;
+  if (blocks > 0 && bad > allowance) return -4;
   int ch = (int)dec.pcm.size();
   if (ch == 0) return -5;
   (void)channels_hint;

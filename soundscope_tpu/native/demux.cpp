@@ -88,7 +88,12 @@ bool parse_trak(const uint8_t* data, size_t file_size, const Box& trak,
   if (find_child(data, mdia.body, mdia.end, fourcc("mdhd"), &mdhd) &&
       mdhd.end - mdhd.body >= 20) {
     const uint8_t* h = data + mdhd.body;
-    media_ts = h[0] == 1 ? be32(h + 20) : be32(h + 12);
+    // version-1 boxes need 24 body bytes before the timescale read
+    if (h[0] == 1) {
+      if (mdhd.end - mdhd.body >= 24) media_ts = be32(h + 20);
+    } else {
+      media_ts = be32(h + 12);
+    }
   }
   Box edts, elst;
   if (find_child(data, trak.body, trak.end, fourcc("edts"), &edts) &&
@@ -230,7 +235,11 @@ bool parse_mp4(const uint8_t* data, size_t n, uint32_t want, Track* out) {
       if (find_child(data, top.body, top.end, fourcc("mvhd"), &mvhd) &&
           mvhd.end - mvhd.body >= 20) {
         const uint8_t* h = data + mvhd.body;
-        movie_ts = h[0] == 1 ? be32(h + 20) : be32(h + 12);
+        if (h[0] == 1) {
+          if (mvhd.end - mvhd.body >= 24) movie_ts = be32(h + 20);
+        } else {
+          movie_ts = be32(h + 12);
+        }
       }
     }
     Box trak;

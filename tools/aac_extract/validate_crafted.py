@@ -129,9 +129,11 @@ def cpe_frame(ics_l, ics_r, ms_mask=0, ms_bits="", rate=48000,
         write_body(ics_l)
         write_body(ics_r)
     else:
-        # each channel carries its own ics_info inside its ICS
-        w.put(ics_l.global_gain, 8)  # placeholder — not used
-        raise NotImplementedError("crafted CPE uses common_window")
+        # each channel carries its own full ICS (gain + ics_info +
+        # sections + scf + flags + spectral) — Ics.write emits exactly
+        # that layout
+        ics_l.write(w)
+        ics_r.write(w)
     w.put(7, 3)                    # END
     payload = w.to_bytes((len(w) + 7) // 8)
     return adts_frame(payload, rate=rate, channels=2)
@@ -306,6 +308,9 @@ def pulse_battery():
         ("pulse pos-line", pulse_bits(0, [(0, 5)])),
         ("pulse neg-line", pulse_bits(1, [(1, 4)])),
         ("pulse multi", pulse_bits(2, [(0, 2), (3, 7), (10, 1), (2, 15)])),
+        # start_sfb beyond the band table: both decoders must REJECT the
+        # frame (decode to silence), not index past swb
+        ("pulse bad start_sfb", pulse_bits(63, [(0, 3)])),
     ]
     for name, pb in cases:
         ok &= compare(name, stream(sce_frame(ics_with(pb))))
@@ -379,6 +384,13 @@ def cpe_battery():
             scf_bits=dp2 + dp0 * 7, spectral_bits="")
     blob = stream2(cpe_frame(l, r, ms_mask=1, ms_bits="11110000"))
     ok &= compare("cpe intensity + mask", blob)
+    # intensity WITHOUT common_window (each channel its own ics_info;
+    # intensity indexes by the right channel's band layout)
+    l = mk(nband=8)
+    r = Ics(global_gain=135, max_sfb=8, sections=[(15, 8)],
+            scf_bits=dp2 + dp0 * 7, spectral_bits="")
+    blob = stream2(cpe_frame(l, r, common=False))
+    ok &= compare("cpe intensity non-common", blob)
     return ok
 
 
