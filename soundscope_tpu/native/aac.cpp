@@ -1141,7 +1141,21 @@ extern "C" int ss_decode_aac(const char* path, DecodedWavLayout* out) {
   if (blocks > 0 && bad > allowance) return -4;
   int ch = (int)dec.pcm.size();
   if (ch == 0) return -5;
-  (void)channels_hint;
+  // Standard channel configurations decode in ELEMENT order
+  // (C, L, R, [Lc/Rc,] surrounds, LFE); emit the canonical
+  // L/R-leading order the independent decoders use so downstream
+  // stereo assumptions (mid/side from the first two channels) hold.
+  static const int kPermCfg3[] = {1, 2, 0};
+  static const int kPermCfg4[] = {1, 2, 0, 3};
+  static const int kPermCfg5[] = {1, 2, 0, 3, 4};
+  static const int kPermCfg6[] = {1, 2, 0, 5, 3, 4};
+  static const int kPermCfg7[] = {3, 4, 0, 7, 5, 6, 1, 2};
+  const int* perm = nullptr;
+  if (channels_hint == 3 && ch == 3) perm = kPermCfg3;
+  else if (channels_hint == 4 && ch == 4) perm = kPermCfg4;
+  else if (channels_hint == 5 && ch == 5) perm = kPermCfg5;
+  else if (channels_hint == 6 && ch == 6) perm = kPermCfg6;
+  else if (channels_hint == 7 && ch == 8) perm = kPermCfg7;
   int64_t frames = (int64_t)dec.pcm[0].size();
   for (int c = 1; c < ch; c++)
     frames = std::min<int64_t>(frames, (int64_t)dec.pcm[c].size());
@@ -1152,9 +1166,11 @@ extern "C" int ss_decode_aac(const char* path, DecodedWavLayout* out) {
   if (n <= 0) return -5;
   float* data = (float*)malloc(sizeof(float) * (size_t)n * ch);
   if (!data) return -6;
-  for (int c = 0; c < ch; c++)
-    memcpy(data + (size_t)c * n, dec.pcm[c].data() + start,
+  for (int c = 0; c < ch; c++) {
+    int src = perm ? perm[c] : c;
+    memcpy(data + (size_t)c * n, dec.pcm[src].data() + start,
            sizeof(float) * (size_t)n);
+  }
   out->data = data;
   out->frames = n;
   out->channels = ch;
