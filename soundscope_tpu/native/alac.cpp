@@ -484,9 +484,23 @@ extern "C" int ss_decode_alac(const char* path, DecodedWavLayout* out) {
   float* data = (float*)malloc(sizeof(float) * (size_t)frames * cfg.channels);
   if (!data) return -6;
   float scale = 1.0f / (float)(1u << (cfg.bit_depth - 1));
+  // ALAC multichannel layouts follow the MPEG element order (C first);
+  // emit the canonical L/R-leading order the independent decoders use
+  // (verified bit-exact under permutation against libav on 5.1)
+  static const int kPerm3[] = {1, 2, 0};
+  static const int kPerm4[] = {1, 2, 0, 3};
+  static const int kPerm5[] = {1, 2, 0, 3, 4};
+  static const int kPerm6[] = {1, 2, 0, 5, 3, 4};
+  static const int kPerm8[] = {3, 4, 0, 7, 5, 6, 1, 2};
+  const int* perm = nullptr;
+  if (cfg.channels == 3) perm = kPerm3;
+  else if (cfg.channels == 4) perm = kPerm4;
+  else if (cfg.channels == 5) perm = kPerm5;
+  else if (cfg.channels == 6) perm = kPerm6;
+  else if (cfg.channels == 8) perm = kPerm8;
   for (int c = 0; c < cfg.channels; c++) {
     float* dst = data + (size_t)c * frames;
-    const int32_t* src = pcm[c].data() + start;
+    const int32_t* src = pcm[perm ? perm[c] : c].data() + start;
     for (int64_t i = 0; i < frames; i++) dst[i] = (float)src[i] * scale;
   }
   out->data = data;

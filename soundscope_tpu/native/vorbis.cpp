@@ -949,8 +949,22 @@ extern "C" int ss_decode_vorbis(const char* path, DecodedWavLayout* out) {
 
   float* data = (float*)malloc(sizeof(float) * (size_t)frames * ch);
   if (!data) return -6;
+  // Vorbis spec channel order (L C R ... LFE-last) -> the canonical
+  // L/R-leading order the independent decoders use (verified bit-exact
+  // under permutation against libav on 5.1)
+  static const int kPerm3[] = {0, 2, 1};
+  static const int kPerm5[] = {0, 2, 1, 3, 4};
+  static const int kPerm6[] = {0, 2, 1, 5, 3, 4};
+  static const int kPerm7[] = {0, 2, 1, 6, 5, 3, 4};
+  static const int kPerm8[] = {0, 2, 1, 7, 5, 6, 3, 4};
+  const int* perm = nullptr;
+  if (ch == 3) perm = kPerm3;
+  else if (ch == 5) perm = kPerm5;
+  else if (ch == 6) perm = kPerm6;
+  else if (ch == 7) perm = kPerm7;
+  else if (ch == 8) perm = kPerm8;
   for (int c = 0; c < ch; c++)
-    memcpy(data + (size_t)c * frames, dec.pcm[c].data(),
+    memcpy(data + (size_t)c * frames, dec.pcm[perm ? perm[c] : c].data(),
            sizeof(float) * (size_t)frames);
   out->data = data;
   out->frames = frames;

@@ -257,3 +257,24 @@ def test_crafted_caf_headers_rejected_not_crash(tmp_path):
         f.write(box(b"ftyp", b"M4A \x00\x00\x00\x00") + moov)
     with pytest.raises(DecodeError):
         dec.decode_alac(p)
+
+
+def test_multichannel_canonical_order(tmp_path):
+    """4/5/6-channel ALAC decodes bit-exactly vs libav INCLUDING channel
+    order (ALAC layouts are MPEG element order, C first; the emitted
+    order is the canonical L/R-leading one)."""
+    dec = _bridge(_native())
+    for nch in (4, 5, 6):
+        n = RATE
+        t = np.arange(n) / RATE
+        x = np.stack([0.2 * np.sin(2 * np.pi * (250 + 150 * i) * t + i)
+                      for i in range(nch)]).astype(np.float32)
+        p = str(tmp_path / f"mc{nch}.m4a")
+        try:
+            dec.encode(p, x, RATE, codec="alac")
+        except Exception:
+            continue  # encoder layout unsupported in this libav build
+        ref = np.asarray(dec.decode_any(p).samples)
+        ours = np.asarray(dec.decode_alac(p).samples)
+        assert ours.shape == ref.shape, (nch, ours.shape, ref.shape)
+        np.testing.assert_array_equal(ours, ref)
