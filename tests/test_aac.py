@@ -267,3 +267,34 @@ def test_5_1_multichannel_element_order(tmp_path):
     # channel-for-channel agreement (PNS-scale residuals only); any
     # ordering mistake would show ~full-scale differences
     assert (d < 0.05).all(), d
+
+
+@pytest.mark.parametrize("bitrate", [24000, 96000])
+def test_bitrate_sweep(tmp_path, bitrate):
+    """Low bitrates force the aggressive tools (intensity everywhere at
+    24k, PNS over most of the floor at 96k): every frame must be
+    sample-exact or PNS-energy-consistent."""
+    dec = _bridge(_native())
+    rate, n = 44100, 44100 * 2
+    t = np.arange(n) / rate
+    rng = np.random.default_rng(1)
+    x = (0.2 * np.sin(2 * np.pi * 997 * t)
+         + 0.08 * np.sin(2 * np.pi * 3313 * t + 0.4)
+         + 0.04 * rng.standard_normal(n))
+    xs = np.clip(np.stack([x, 0.85 * np.roll(x, 11)]),
+                 -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / f"br{bitrate}.aac")
+    dec.encode(p, xs, rate, bitrate=bitrate)
+    ours = dec.decode_aac(p)
+    ref = dec.decode_any_fmt(p, "aac")
+    a, b = np.asarray(ours.samples), np.asarray(ref.samples)
+    nm = min(a.shape[1], b.shape[1])
+    d = np.abs(a[:, :nm] - b[:, :nm]).max(axis=0)
+    nfr = nm // 1024
+    fr = d[: nfr * 1024].reshape(nfr, 1024).max(axis=1)
+    for i in np.flatnonzero(fr >= 1e-4):
+        sa = a[:, i * 1024: (i + 1) * 1024]
+        sb = b[:, i * 1024: (i + 1) * 1024]
+        ra = float(np.sqrt((sa ** 2).mean()))
+        rb = float(np.sqrt((sb ** 2).mean()))
+        assert abs(ra - rb) < 0.05 * max(rb, 1e-3), (bitrate, i, ra, rb)
