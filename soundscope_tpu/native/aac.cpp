@@ -1149,7 +1149,9 @@ extern "C" int ss_decode_aac(const char* path, DecodedWavLayout* out) {
   static const int kPermCfg4[] = {1, 2, 0, 3};
   static const int kPermCfg5[] = {1, 2, 0, 3, 4};
   static const int kPermCfg6[] = {1, 2, 0, 5, 3, 4};
-  static const int kPermCfg7[] = {3, 4, 0, 7, 5, 6, 1, 2};
+  // 7.1 (config 7): measured against libav — the FIRST CPE carries
+  // the front L/R pair, the second the side pair
+  static const int kPermCfg7[] = {1, 2, 0, 7, 5, 6, 3, 4};
   const int* perm = nullptr;
   if (channels_hint == 3 && ch == 3) perm = kPermCfg3;
   else if (channels_hint == 4 && ch == 4) perm = kPermCfg4;

@@ -246,22 +246,22 @@ def test_crafted_feature_battery():
             sys.path.remove(os.path.join(root, sub))
 
 
-def test_5_1_multichannel_element_order(tmp_path):
-    """5.1 streams (SCE + CPE + CPE + LFE) decode all elements and emit
-    the canonical L/R-leading channel order the independent decoders
-    use (element order is C-first)."""
+@pytest.mark.parametrize("nch", [6, 8])
+def test_multichannel_element_order(tmp_path, nch):
+    """5.1 / 7.1 streams decode every element and emit the canonical
+    L/R-leading channel order the independent decoders use (element
+    order is C-first; 7.1's FIRST CPE is the front pair)."""
     dec = _bridge(_native())
     rate, n = 48000, 48000 * 2
     t = np.arange(n) / rate
-    x = np.stack([0.2 * np.sin(2 * np.pi * f * t + i)
-                  for i, f in enumerate((300, 450, 600, 80, 900, 1200))]
-                 ).astype(np.float32)
-    p = str(tmp_path / "m51.aac")
+    x = np.stack([0.2 * np.sin(2 * np.pi * (250 + 130 * i) * t + i)
+                  for i in range(nch)]).astype(np.float32)
+    p = str(tmp_path / f"m{nch}.aac")
     dec.encode(p, x, rate)
     ours = dec.decode_aac(p)
     ref = dec.decode_any_fmt(p, "aac")
     a, b = np.asarray(ours.samples), np.asarray(ref.samples)
-    assert a.shape[0] == 6 and b.shape[0] == 6
+    assert a.shape[0] == nch and b.shape[0] == nch
     nm = min(a.shape[1], b.shape[1])
     d = np.abs(a[:, :nm] - b[:, :nm]).max(axis=1)
     # channel-for-channel agreement (PNS-scale residuals only); any
