@@ -88,3 +88,43 @@ def test_energy_group_presum_equivalence(rng):
     np.testing.assert_allclose(
         np.asarray(p1).reshape(b, -1, 32).sum(-1), np.asarray(p32),
         rtol=1e-6, atol=1e-7)
+
+
+def test_energy_rows_layout_equivalence(rng):
+    """2D rows-layout (b*ch, N) input must produce exactly the 3D
+    (b, ch, N) result in BOTH energy kernels (the relayout-free fast
+    path batch uploads use), and the true-peak kernel likewise."""
+    from soundscope_tpu.ops.biquad import make_block_filter
+    from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
+    from soundscope_tpu.ops.pallas_iir import (
+        kweight_energy_pallas,
+        kweight_energy_pallas_prefix,
+    )
+    from soundscope_tpu.ops.pallas_truepeak import true_peak_pallas
+
+    bf = make_block_filter(kweight_cascade_ss(48000), 128)
+    w = tuple(float(v) for v in channel_weights(2))
+    b, n = 3, 128 * 64
+    x = (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
+    x2 = x.reshape(b * 2, n)
+    nv = jnp.asarray([n, n - 700, n // 2], jnp.int32)
+    abt = jnp.transpose(bf.A_pows[128])
+
+    z3 = kweight_energy_pallas(bf.Tt, bf.Wt, bf.Ot, abt, x, nv, w,
+                               interpret=True)
+    z2 = kweight_energy_pallas(bf.Tt, bf.Wt, bf.Ot, abt, x2, nv, w,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(z3), np.asarray(z2))
+
+    p3 = kweight_energy_pallas_prefix(bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x,
+                                      nv, w, interpret=True)
+    p2 = kweight_energy_pallas_prefix(bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x2,
+                                      nv, w, interpret=True)
+    np.testing.assert_array_equal(np.asarray(p3), np.asarray(p2))
+
+    tp3, sp3 = true_peak_pallas(jnp.asarray(x), nv, 48000, interpret=True)
+    tp2, sp2 = true_peak_pallas(jnp.asarray(x2), nv, 48000, interpret=True)
+    np.testing.assert_array_equal(np.asarray(tp3).reshape(-1),
+                                  np.asarray(tp2))
+    np.testing.assert_array_equal(np.asarray(sp3).reshape(-1),
+                                  np.asarray(sp2))
