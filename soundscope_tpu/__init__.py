@@ -27,6 +27,19 @@ Layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Backend override: SOUNDSCOPE_TPU_PLATFORM=cpu|tpu forces the JAX
+# platform before any computation. Needed because some environments
+# register accelerator plugins in sitecustomize and ignore the standard
+# JAX_PLATFORMS variable; it also gives every app entry point (CLI,
+# TUI, bench) one documented knob when a chip/tunnel is unreachable.
+_plat = _os.environ.get("SOUNDSCOPE_TPU_PLATFORM", "").strip().lower()
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 from soundscope_tpu.core.config import MeterConfig  # noqa: F401
 
 

@@ -526,7 +526,9 @@ static bool decode_spectrum(Bits& b, Channel& ch, int* quant) {
             }
           }
           for (int d = 0; d < bi.dims; d++)
-            quant[base + pos + d] = vals[d];
+            // swb offsets are multiples of 4, so tuples never straddle
+            // hi; the bound is belt-and-braces for regenerated tables
+            if (base + pos + d < FRAME) quant[base + pos + d] = vals[d];
         }
       }
     }
@@ -582,7 +584,10 @@ static void build_coefficients(Channel& ch, const int* quant,
           float energy = (float)std::pow(2.0, 0.25 * (ch.sf[g][k] - 100));
           float acc = 0.0f;
           float tmp[SHORT];
+          // widest measured long band is 96 lines (kSwb_long_48000);
+          // clamp so a regenerated table can never overrun the stack buf
           int n = hi - lo;
+          if (n > SHORT) n = SHORT;
           for (int i = 0; i < n; i++) {
             tmp[i] = noise_next(ch.noise_seed);
             acc += tmp[i] * tmp[i];

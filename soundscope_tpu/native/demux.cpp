@@ -205,12 +205,16 @@ bool parse_trak(const uint8_t* data, size_t file_size, const Box& trak,
   if (stsc.end - stsc.body < 8 + (size_t)nsc * 12) return false;
 
   size_t si = 0;
+  // stsc entries are required to be sorted by first_chunk; a linear
+  // cursor keeps this O(nchunks + nsc) (a crafted file with huge
+  // nchunks*nsc would otherwise make the old rescan quadratic)
+  uint32_t sck = 0, spc_cur = 1;
   for (uint32_t ci = 0; ci < nchunks && si < sizes.size(); ci++) {
-    uint32_t spc = 1;
-    for (uint32_t k = 0; k < nsc; k++) {
-      uint32_t first = be32(sc + 8 + 12 * k);
-      if (ci + 1 >= first) spc = be32(sc + 8 + 12 * k + 4);
+    while (sck < nsc && be32(sc + 8 + 12 * sck) <= ci + 1) {
+      spc_cur = be32(sc + 8 + 12 * sck + 4);
+      sck++;
     }
+    uint32_t spc = spc_cur;
     uint64_t off = offs[ci];
     for (uint32_t s = 0; s < spc && si < sizes.size(); s++) {
       out->packets.push_back({off, sizes[si]});
@@ -305,7 +309,9 @@ bool parse_caf(const uint8_t* data, size_t n, Track* out) {
   if (!pakt_sizes.empty()) {
     uint64_t off = data_off;
     for (uint64_t s : pakt_sizes) {
-      if (off + s > data_off + data_len) break;
+      // overflow-safe bound: off is in [data_off, data_off+data_len],
+      // s is attacker-controlled BER (up to 2^63) — off + s may wrap
+      if (s > data_len - (off - data_off)) break;
       out->packets.push_back({off, (uint32_t)s});
       off += s;
     }
