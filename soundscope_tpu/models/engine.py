@@ -78,6 +78,7 @@ def analyze_batch_native(cfg: MeterConfig):
         use_pallas = cfg.iir_impl == "pallas" or (
             cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
         )
+        tp_fused = None
         if use_pallas and n % cfg.block == 0:
             # fused: filter + mask + weighted-square + channel-sum in one
             # Pallas pass; y never touches HBM. When the 100 ms sub-block
@@ -88,13 +89,32 @@ def analyze_batch_native(cfg: MeterConfig):
             # time, round-3 chip trace in docs/KERNELS.md).
             from soundscope_tpu.ops.pallas_iir import (
                 kweight_energy_pallas_auto,
+                kweight_energy_tp_eligible,
+                kweight_energy_tp_pallas_prefix,
             )
 
             g = 32 if h % 32 == 0 and cfg.block % 32 == 0 else 1
-            z = kweight_energy_pallas_auto(
-                bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
-                samples, n_valid, w_tuple, group=g,
+            # Fused energy + true-peak kernel when the prefix variant
+            # applies: the FIR's VPU work dual-issues with the prefix
+            # matmuls' MXU work and the input streams from HBM once
+            # (SS_FUSE_TP=0 reverts to the two standalone kernels).
+            import os as _os
+
+            fuse_tp = _os.environ.get("SS_FUSE_TP", "1") != "0" and (
+                kweight_energy_tp_eligible(
+                    n, b, ch, cfg.block, bf.Wt.shape[1], cfg.rate, g)
             )
+            if fuse_tp:
+                z, tpr, spr = kweight_energy_tp_pallas_prefix(
+                    bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
+                    samples, n_valid, w_tuple, cfg.rate, group=g,
+                )
+                tp_fused = (tpr.reshape(b, ch), spr.reshape(b, ch))
+            else:
+                z = kweight_energy_pallas_auto(
+                    bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
+                    samples, n_valid, w_tuple, group=g,
+                )
             nb_sub = z.shape[-1] // (h // g)
             sums = z[..., : nb_sub * (h // g)].reshape(
                 b, nb_sub, h // g).sum(axis=-1)
@@ -140,7 +160,9 @@ def analyze_batch_native(cfg: MeterConfig):
 
         from soundscope_tpu.ops.pallas_truepeak import pick_block
 
-        if use_pallas and pick_block(n) is not None:
+        if use_pallas and tp_fused is not None:
+            tp, sp = tp_fused
+        elif use_pallas and pick_block(n) is not None:
             from soundscope_tpu.ops.pallas_truepeak import true_peak_pallas
 
             tp, sp = true_peak_pallas(samples, n_valid, cfg.rate)

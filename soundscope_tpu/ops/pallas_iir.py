@@ -94,23 +94,26 @@ def pick_kpg(nblocks: int, bytes_per_block: int, kmax: int = 32,
     return 1
 
 
-def _prefix_footprint(k, rows, b, B, ns) -> int:
+def _prefix_footprint(k, rows, b, B, ns, tp_kp: int = 0) -> int:
     """Total VMEM bytes the blocked-prefix kernel needs at kpg=k: the
     double-buffered x/z tiles PLUS the broadcast constants (wt_big and
     ot_big grow O(k^2), ~3.3 MB each at k=25/B=512/ns=4) and the
     (rows, k*B) y_state intermediate — the tile-only estimate undercounts
-    by >2x at large k."""
+    by >2x at large k. `tp_kp` > 0 adds the fused true-peak variant's
+    live buffers (per-phase accumulators + masked/context sub-blocks)."""
     tile = (rows + b) * k * B * 4 * 2          # x in + z out, double-buffered
     const = (2 * k * B * k * ns                # wt_big + ot_big
              + (k * ns) ** 2                   # t_big
              + (2 * k + 1) * ns * ns           # p_big + tend + ab_k
              + 2 * B * B) * 4                  # tt + tt_lo
     inter = rows * k * B * 4                   # y_state
-    return tile + const + inter
+    tp = 8 * rows * B * 4 if tp_kp else 0      # accs + xm/xp/shift temps
+    return tile + const + inter + tp
 
 
 def pick_kpg_prefix(nb: int, rows: int, b: int, B: int, ns: int,
-                    kmax: int = 32, vmem_cap: int = 14 << 20) -> int:
+                    kmax: int = 32, vmem_cap: int = 14 << 20,
+                    tp_kp: int = 0) -> int:
     """kpg for the blocked-prefix energy kernel: largest divisor of nb
     whose FULL footprint (tiles + block-diagonal constants +
     intermediates) fits the ~16 MB/core VMEM with headroom. The bench
@@ -118,7 +121,8 @@ def pick_kpg_prefix(nb: int, rows: int, b: int, B: int, ns: int,
     the tile-only policy — but shapes whose constants blow the budget now
     step down instead of failing Mosaic allocation."""
     for k in range(min(nb, kmax), 1, -1):
-        if nb % k == 0 and _prefix_footprint(k, rows, b, B, ns) <= vmem_cap:
+        if nb % k == 0 and _prefix_footprint(k, rows, b, B, ns,
+                                             tp_kp) <= vmem_cap:
             return k
     return 1
 
@@ -285,22 +289,44 @@ def kweight_energy_pallas(bf_Tt, bf_Wt, bf_Ot, bf_ABt, x, n_valid, weights,
     return z
 
 
-def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group):
+def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group,
+                                  tp_taps=None, nsteps=None):
+    """When `tp_taps` (an (F, Kp) polyphase matrix) is given, the kernel
+    additionally computes the BS.1770 true peak and sample peak on the
+    SAME x sub-blocks. The FIR is pure VPU work (rolls + FMAs) while the
+    energy prefix is MXU matmuls — the core dual-issues the two units,
+    so the fused kernel hides most of the standalone true-peak kernel's
+    wall time AND reads the GB-scale input from HBM once instead of
+    twice."""
     import os
 
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     w_list = [float(v) for v in weights]
     mode = os.environ.get("SS_ENERGY_PREC", "bf16x2")
     hiP = jax.lax.Precision.HIGHEST
+    rows = b * ch
+    if tp_taps is not None:
+        F, Kp = tp_taps.shape
 
-    def kernel(x_ref, nv_ref, tt_ref, ttlo_ref, wtb_ref, tbig_ref, pbig_ref,
-               otb_ref, tend_ref, abk_ref, z_ref, s_carry):
+    def kernel(x_ref, nv_ref, *rest):
+        if tp_taps is not None:
+            (nvr_ref, tt_ref, ttlo_ref, wtb_ref, tbig_ref, pbig_ref,
+             otb_ref, tend_ref, abk_ref, z_ref, tp_ref, sp_ref,
+             s_carry, prev, run_tp, run_sp) = rest
+        else:
+            (tt_ref, ttlo_ref, wtb_ref, tbig_ref, pbig_ref,
+             otb_ref, tend_ref, abk_ref, z_ref, s_carry) = rest
         first = pl.program_id(0) == 0
 
         @pl.when(first)
         def _():
             s_carry[:] = jnp.zeros_like(s_carry)
+            if tp_taps is not None:
+                prev[:] = jnp.zeros_like(prev)
+                run_tp[:] = jnp.zeros_like(run_tp)
+                run_sp[:] = jnp.zeros_like(run_sp)
 
         j = pl.program_id(0)
         x = x_ref[:]                               # (rows, kpg*B)
@@ -330,6 +356,12 @@ def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group):
                       precision=hiP)
         )
 
+        if tp_taps is not None:
+            colL = jax.lax.broadcasted_iota(jnp.int32, (rows, B), 1)
+            xp = prev[:]
+            tp_blk = jnp.zeros((rows, 1), jnp.float32)
+            sp_blk = jnp.zeros((rows, 1), jnp.float32)
+
         for i in range(kpg):
             xi = x[:, i * B: (i + 1) * B]
             y0 = toeplitz_dot(xi, tt_ref, ttlo_ref, mode)
@@ -342,6 +374,46 @@ def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group):
             Bg = B // group
             z_ref[:, i * Bg: (i + 1) * Bg] = _masked_grouped(
                 z, col, nv_ref[:], group, b, B)
+
+            if tp_taps is not None:
+                # --- fused true peak over the same sub-block (VPU) ---
+                validr = colL + (j * kpg + i) * B < nvr_ref[:]
+                xm = jnp.where(validr, xi, 0.0)
+                sp_blk = jnp.maximum(
+                    sp_blk, jnp.max(jnp.abs(xm), axis=1, keepdims=True))
+                # shifted-by-k sub-block: roll(xm, k) except the first k
+                # columns, which come from the END of the previous
+                # sub-block. Loop order (k outer, phases inner) keeps
+                # only F accumulators + one shift live in VMEM.
+                accs = [jnp.zeros((rows, B), jnp.float32)
+                        for _ in range(F)]
+                for k in range(Kp):
+                    if k == 0:
+                        sh = xm
+                    else:
+                        sh = jnp.where(colL < k,
+                                       pltpu.roll(xp, k, 1),
+                                       pltpu.roll(xm, k, 1))
+                    for p in range(F):
+                        hk = float(tp_taps[p, k])
+                        if hk != 0.0:
+                            accs[p] = accs[p] + hk * sh
+                for p in range(F):
+                    acc = jnp.where(validr, accs[p], 0.0)
+                    tp_blk = jnp.maximum(
+                        tp_blk,
+                        jnp.max(jnp.abs(acc), axis=1, keepdims=True))
+                xp = xm
+
+        if tp_taps is not None:
+            run_sp[:] = jnp.maximum(run_sp[:], sp_blk)
+            run_tp[:] = jnp.maximum(run_tp[:], tp_blk)
+            prev[:] = xp
+
+            @pl.when(j == nsteps - 1)
+            def _():
+                tp_ref[:] = jnp.maximum(run_tp[:], run_sp[:])
+                sp_ref[:] = run_sp[:]
 
     return kernel
 
@@ -443,6 +515,138 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
         interpret=interpret,
     )(x2, nv, bf_Tt, tt_lo, wt_big, t_big, p_big, ot_big, tend, ab_k)
     return z
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("weights", "rate", "interpret", "group"))
+def kweight_energy_tp_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
+                                    weights, rate, interpret=False, group=1):
+    """Fused blocked-prefix energy + BS.1770 true/sample peak.
+
+    Same contract as `kweight_energy_pallas_prefix` plus the true-peak
+    outputs of `ops.pallas_truepeak.true_peak_pallas`: returns
+    (z (b, n // group), tp (rows,), sp (rows,)). One kernel reads the
+    GB-scale input once; the FIR's VPU work overlaps the prefix matmuls'
+    MXU work (the two standalone kernels serialise those units)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from soundscope_tpu.core import constants as C
+    from soundscope_tpu.ops.truepeak import _polyphase_taps
+
+    if x.ndim == 2:  # rows layout: (b*ch, N), channel-minor
+        ch = len(weights)
+        b, n = x.shape[0] // ch, x.shape[1]
+    else:
+        b, ch, n = x.shape
+    factor = C.true_peak_factor(rate)
+    assert factor > 1, "fused TP path needs an oversampling factor"
+    tp_taps = _polyphase_taps(factor)
+    B = bf_Tt.shape[0]
+    nb = n // B
+    ns = bf_Wt.shape[1]
+    rows = b * ch
+    x2 = x.reshape(rows, n)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
+    # per-row validity for the peak (channel-minor rows share the track's
+    # n_valid)
+    nvr = jnp.repeat(nv, ch, axis=0)
+
+    kpg = pick_kpg_prefix(nb, rows, b, B, ns, tp_kp=tp_taps.shape[1])
+
+    ab_blk = A_pows[B]
+    mats = [jnp.eye(ns, dtype=jnp.float32)]
+    for _ in range(kpg):
+        mats.append(mats[-1] @ ab_blk)
+    abt = {k: jnp.transpose(mats[k]) for k in range(kpg + 1)}
+
+    def _blockdiag(m, reps):
+        out = jnp.zeros((reps * m.shape[0], reps * m.shape[1]), m.dtype)
+        for i in range(reps):
+            out = out.at[i * m.shape[0]:(i + 1) * m.shape[0],
+                         i * m.shape[1]:(i + 1) * m.shape[1]].set(m)
+        return out
+
+    wt_big = _blockdiag(bf_Wt, kpg)
+    ot_big = _blockdiag(bf_Ot, kpg)
+    t_big = jnp.zeros((kpg * ns, kpg * ns), jnp.float32)
+    p_big = jnp.zeros((ns, kpg * ns), jnp.float32)
+    tend = jnp.zeros((kpg * ns, ns), jnp.float32)
+    for i in range(kpg):
+        for jb in range(i + 1, kpg):
+            t_big = t_big.at[i * ns:(i + 1) * ns,
+                             jb * ns:(jb + 1) * ns].set(abt[jb - 1 - i])
+        tend = tend.at[i * ns:(i + 1) * ns, :].set(abt[kpg - 1 - i])
+    for jb in range(kpg):
+        p_big = p_big.at[:, jb * ns:(jb + 1) * ns].set(abt[jb])
+    ab_k = abt[kpg]
+
+    nsteps = nb // kpg
+    kernel = _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns,
+                                           group, tp_taps=tp_taps,
+                                           nsteps=nsteps)
+    tt_lo = bf_Tt - bf_Tt.astype(jnp.bfloat16).astype(jnp.float32)
+    Bg = B // group
+    z, tp, sp = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((rows, kpg * B), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * B, kpg * ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * ns, kpg * ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, kpg * ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * ns, kpg * B), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpg * ns, ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, ns), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, kpg * Bg), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n // group), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, ns), jnp.float32),
+            pltpu.VMEM((rows, B), jnp.float32),   # prev sub-block (FIR ctx)
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, nv, nvr, bf_Tt, tt_lo, wt_big, t_big, p_big, ot_big, tend, ab_k)
+    return z, tp.reshape(rows), sp.reshape(rows)
+
+
+def kweight_energy_tp_eligible(n, b, ch, B, ns, rate, group) -> bool:
+    """The fused energy+true-peak kernel applies when the prefix variant
+    would be chosen anyway and the rate needs oversampling."""
+    from soundscope_tpu.core import constants as C
+    from soundscope_tpu.ops.truepeak import _polyphase_taps
+
+    factor = C.true_peak_factor(rate)
+    if factor <= 1 or n % B != 0:
+        return False
+    kpg = pick_kpg_prefix(n // B, b * ch, b, B, ns,
+                          tp_kp=_polyphase_taps(factor).shape[1])
+    return kpg >= 4
 
 
 def kweight_energy_pallas_auto(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,

@@ -34,10 +34,12 @@ def test_engine_pallas_impl_flag(rng):
     orig = P.block_iir_pallas
     orig_e = P.kweight_energy_pallas
     orig_p = P.kweight_energy_pallas_prefix
+    orig_f = P.kweight_energy_tp_pallas_prefix
     orig_t = TP.true_peak_pallas
     P.block_iir_pallas = lambda bf, x, interpret=False: orig(bf, x, interpret=True)
     P.kweight_energy_pallas = lambda *a, **k: orig_e(*a, **{**k, "interpret": True})
     P.kweight_energy_pallas_prefix = lambda *a, **k: orig_p(*a, **{**k, "interpret": True})
+    P.kweight_energy_tp_pallas_prefix = lambda *a, **k: orig_f(*a, **{**k, "interpret": True})
     TP.true_peak_pallas = lambda *a, **k: orig_t(*a, **{**k, "interpret": True})
     try:
         x = (rng.standard_normal((2, 1 << 16)) * 0.1).astype(np.float32)
@@ -49,10 +51,19 @@ def test_engine_pallas_impl_flag(rng):
             MeterConfig(channels=2, rate=48000, max_blocks=0, iir_impl="pallas")
         )(jnp.asarray(x), nv)
         assert abs(float(r1.integrated_lufs) - float(r2.integrated_lufs)) < 1e-3
+        # the pallas engine path routes true peak through the FUSED
+        # energy+TP kernel here; its peaks must match the XLA engine's
+        np.testing.assert_allclose(np.asarray(r2.true_peak),
+                                   np.asarray(r1.true_peak),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(r2.sample_peak),
+                                   np.asarray(r1.sample_peak),
+                                   rtol=1e-6, atol=0)
     finally:
         P.block_iir_pallas = orig
         P.kweight_energy_pallas = orig_e
         P.kweight_energy_pallas_prefix = orig_p
+        P.kweight_energy_tp_pallas_prefix = orig_f
         TP.true_peak_pallas = orig_t
 
 
@@ -128,3 +139,47 @@ def test_energy_rows_layout_equivalence(rng):
                                   np.asarray(tp2))
     np.testing.assert_array_equal(np.asarray(sp3).reshape(-1),
                                   np.asarray(sp2))
+
+
+@pytest.mark.parametrize("rate", [48000, 96000])
+def test_fused_energy_tp_matches_standalone(rng, rate):
+    """The fused energy+true-peak kernel must reproduce BOTH standalone
+    kernels exactly: same z (identical matmul sequence) and same tp/sp.
+    The TP comparison uses the standalone kernel forced to the same
+    sub-block size (its carry boundaries land at the same samples, so
+    the float op order is identical)."""
+    from soundscope_tpu.ops.biquad import make_block_filter
+    from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
+    from soundscope_tpu.ops.pallas_iir import (
+        kweight_energy_pallas_prefix,
+        kweight_energy_tp_pallas_prefix,
+    )
+    from soundscope_tpu.ops.truepeak import true_peak_masked
+
+    bf = make_block_filter(kweight_cascade_ss(rate), 128)
+    w = tuple(float(v) for v in channel_weights(2))
+    b, n = 3, 128 * 64
+    x = (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
+    nv = jnp.asarray([n, n - 700, n // 2], jnp.int32)
+
+    z_ref = kweight_energy_pallas_prefix(bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
+                                         x, nv, w, interpret=True, group=32)
+    z, tp, sp = kweight_energy_tp_pallas_prefix(
+        bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x, nv, w, rate,
+        interpret=True, group=32)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z_ref))
+
+    tp_ref, sp_ref = true_peak_masked(
+        jnp.asarray(x), nv[:, None, None], rate)
+    np.testing.assert_allclose(np.asarray(tp).reshape(b, 2),
+                               np.asarray(tp_ref), rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sp).reshape(b, 2),
+                               np.asarray(sp_ref), rtol=0, atol=0)
+
+    # rows-layout input must match exactly, like the other kernels
+    z2, tp2, sp2 = kweight_energy_tp_pallas_prefix(
+        bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x.reshape(b * 2, n), nv, w, rate,
+        interpret=True, group=32)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(tp), np.asarray(tp2))
+    np.testing.assert_array_equal(np.asarray(sp), np.asarray(sp2))
