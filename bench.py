@@ -15,7 +15,8 @@ Prints ONE JSON line to stdout. Details go to stderr.
 
 Env knobs: BENCH_TRACKS, BENCH_SECONDS, BENCH_REPEATS, BENCH_RATE,
 BENCH_STFT (pallas|chunked|oneshot — pipeline for the spectrogram stage),
-BENCH_DTYPE (f32|bf16 for the STFT matmuls).
+BENCH_DTYPE (f32|bf16 for the STFT matmuls), BENCH_GANG (distinct track
+batches per dispatch — amortises the relay enqueue latency).
 
 `--check` gate mode: additionally runs tools/tpu_conformance.py and
 compares the measured RT factor against tools/bench_baseline.json,
@@ -137,7 +138,7 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
     # track batches amortises that to noise. The batches are distinct
     # arrays (different PRNG streams), so no loop-invariant hoisting or
     # CSE can collapse the work.
-    GANG = 4
+    GANG = int(os.environ.get("BENCH_GANG", "4"))
 
     @jax.jit
     def step_gang(xs, n_valid):
