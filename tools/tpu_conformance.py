@@ -126,7 +126,11 @@ def main(argv=None) -> int:
     from soundscope_tpu.ops import loudness as L
     from soundscope_tpu.ops.biquad import make_block_filter
     from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
-    from soundscope_tpu.ops.pallas_iir import kweight_energy_pallas_prefix
+    from soundscope_tpu.ops.pallas_iir import (
+        kweight_energy_pallas_prefix,
+        kweight_energy_tp_eligible,
+        kweight_energy_tp_pallas_prefix,
+    )
     from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas
     from soundscope_tpu.ops.pallas_truepeak import pick_block, true_peak_pallas
 
@@ -178,6 +182,33 @@ def main(argv=None) -> int:
     got_tp = np.asarray(got_tp)
     print(f"true_peak_pallas: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # the engine's shipped TPU path routes through the FUSED energy+TP
+    # kernel when eligible — sweep it too so the gate certifies what
+    # actually runs (integrated via its z, true peak via its tp)
+    fused_ok = kweight_energy_tp_eligible(
+        npad, args.levels, 2, cfg.block, bf.Wt.shape[1], RATE, 1)
+    got_integ_f, got_tp_f = None, None
+    if fused_ok:
+        @jax.jit
+        def fused_sweep(x, n_valid):
+            z, tp, _ = kweight_energy_tp_pallas_prefix(
+                bf.Tt, bf.Wt, bf.Ot, bf.A_pows, x, n_valid, w_tuple, RATE,
+                interpret=args.interpret,
+            )
+            sums = L.subblock_sums(z, cfg.subblock)
+            e = L.gating_energies(sums, cfg.subblock)
+            mask = jnp.arange(e.shape[-1])[None] < (
+                n_valid[:, None] // cfg.subblock - (C.MOMENTARY_SUBBLOCKS - 1)
+            )
+            return L.gated_loudness(e, mask), tp.reshape(args.levels, 2)
+
+        t0 = time.time()
+        got_integ_f, got_tp_f = jax.block_until_ready(fused_sweep(xd, nvd))
+        got_integ_f = np.asarray(got_integ_f)
+        got_tp_f = np.asarray(got_tp_f)
+        print(f"kweight_energy_tp (fused): {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
     t0 = time.time()
     got_mid, got_side = jax.block_until_ready(
         jax.jit(lambda l, r: stft_pooled_pallas(l, r, RATE, interpret=args.interpret))(
@@ -194,6 +225,9 @@ def main(argv=None) -> int:
         return 20.0 * np.log10(np.maximum(v, 1e-12))
 
     err_tp = float(np.max(np.abs(db(got_tp) - db(ref_tp))))
+    if got_integ_f is not None:
+        err_lu = max(err_lu, float(np.max(np.abs(got_integ_f - ref_integ))))
+        err_tp = max(err_tp, float(np.max(np.abs(db(got_tp_f) - db(ref_tp)))))
 
     nw_check = min(args.stft_windows, got_mid.shape[1])
     err_stft = 0.0
@@ -210,6 +244,7 @@ def main(argv=None) -> int:
         "levels": args.levels,
         "backend": jax.default_backend(),
         "interpret": args.interpret,
+        "fused_energy_tp_swept": bool(fused_ok),
         "integrated_max_err_lu": round(err_lu, 5),
         "true_peak_max_err_db": round(err_tp, 5),
         "stft_pooled_max_err_db": round(err_stft, 5),
