@@ -383,17 +383,18 @@ def _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group,
                     sp_blk, jnp.max(jnp.abs(xm), axis=1, keepdims=True))
                 # shifted-by-k sub-block: roll(xm, k) except the first k
                 # columns, which come from the END of the previous
-                # sub-block. Loop order (k outer, phases inner) keeps
-                # only F accumulators + one shift live in VMEM.
+                # sub-block (select the prev tail BEFORE rolling — one
+                # vector op cheaper than selecting between two rolls).
+                # Loop order (k outer, phases inner) keeps only F
+                # accumulators + one shift live in VMEM.
                 accs = [jnp.zeros((rows, B), jnp.float32)
                         for _ in range(F)]
                 for k in range(Kp):
                     if k == 0:
                         sh = xm
                     else:
-                        sh = jnp.where(colL < k,
-                                       pltpu.roll(xp, k, 1),
-                                       pltpu.roll(xm, k, 1))
+                        sh = pltpu.roll(
+                            jnp.where(colL >= B - k, xp, xm), k, 1)
                     for p in range(F):
                         hk = float(tp_taps[p, k])
                         if hk != 0.0:

@@ -90,17 +90,17 @@ def _make_kernel(factor: int, nsteps: int, rows: int, blk: int, kpg: int):
 
             # shifted-by-k block: roll(x, k) is right for n >= k; for n < k
             # the wrapped columns must come from the END of the PREVIOUS
-            # block, which is exactly what roll(prev, k)[:, :k] holds.
-            # The shifts depend only on k, so they are built ONCE and
-            # shared by all F phases (they dominated the VPU cost when
-            # recomputed inside the phase loop).
+            # block. Select BEFORE rolling: the last k columns of the
+            # select come from prev, and rolling right by k lands them on
+            # columns < k — identical values to selecting between two
+            # rolls, one vector op cheaper per shift. The shifts depend
+            # only on k, so they are built ONCE and shared by all F
+            # phases (they dominated the VPU cost when recomputed inside
+            # the phase loop).
             shifted = [x]
             for k in range(1, Kp):
-                shifted.append(jnp.where(
-                    col < k,
-                    pltpu.roll(xp, k, 1),
-                    pltpu.roll(x, k, 1),
-                ))
+                shifted.append(
+                    pltpu.roll(jnp.where(col >= BLK - k, xp, x), k, 1))
             for p in range(F):
                 acc = jnp.zeros((rows, BLK), jnp.float32)
                 for k in range(Kp):

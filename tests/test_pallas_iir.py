@@ -141,13 +141,14 @@ def test_energy_rows_layout_equivalence(rng):
                                   np.asarray(sp2))
 
 
-@pytest.mark.parametrize("rate", [48000, 96000])
-def test_fused_energy_tp_matches_standalone(rng, rate):
+@pytest.mark.parametrize("rate,b", [(48000, 3), (96000, 3), (48000, 1)])
+def test_fused_energy_tp_matches_standalone(rng, rate, b):
     """The fused energy+true-peak kernel must reproduce BOTH standalone
     kernels exactly: same z (identical matmul sequence) and same tp/sp.
     The TP comparison uses the standalone kernel forced to the same
     sub-block size (its carry boundaries land at the same samples, so
-    the float op order is identical)."""
+    the float op order is identical). b=1 pins the single-track entry()
+    shape (rows=2 — sub-8-sublane tiles)."""
     from soundscope_tpu.ops.biquad import make_block_filter
     from soundscope_tpu.ops.kweight import channel_weights, kweight_cascade_ss
     from soundscope_tpu.ops.pallas_iir import (
@@ -158,9 +159,9 @@ def test_fused_energy_tp_matches_standalone(rng, rate):
 
     bf = make_block_filter(kweight_cascade_ss(rate), 128)
     w = tuple(float(v) for v in channel_weights(2))
-    b, n = 3, 128 * 64
+    n = 128 * 64
     x = (rng.standard_normal((b, 2, n)) * 0.1).astype(np.float32)
-    nv = jnp.asarray([n, n - 700, n // 2], jnp.int32)
+    nv = jnp.asarray([n, n - 700, n // 2][:b], jnp.int32)
 
     z_ref = kweight_energy_pallas_prefix(bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
                                          x, nv, w, interpret=True, group=32)
