@@ -379,6 +379,11 @@ static bool parse_scalefactors(Bits& b, Channel& ch) {
         int d = decode_scf_delta(b);
         if (d == -1000) return false;
         is_pos += d;
+        // clamp the accumulated position so 2^(-is_pos/4) stays finite
+        // in float; only binds on corrupt streams (legit positions are
+        // small), where inf * 0-left-band would otherwise make NaNs
+        if (is_pos < -500) is_pos = -500;
+        if (is_pos > 500) is_pos = 500;
         ch.sf[g][k] = is_pos;
       } else if (cb == CB_NOISE) {
         if (noise_first) {
@@ -390,6 +395,9 @@ static bool parse_scalefactors(Bits& b, Channel& ch) {
           if (d == -1000) return false;
           noise += d;
         }
+        // same finite-float guard as is_pos, for 2^((noise-100)/4)
+        if (noise < -500) noise = -500;
+        if (noise > 500) noise = 500;
         ch.sf[g][k] = noise;
       } else {
         int d = decode_scf_delta(b);
@@ -798,6 +806,12 @@ static bool decode_ics(Bits& b, Channel& ch, int rate_idx,
 }
 
 struct Decoder {
+  // hard cap on channel slots: the syntax itself never needs more (7.1
+  // is 8; PCE layouts top out well below this), and without it a
+  // crafted frame packed with ~29-bit minimal SCEs (~2000 fit in one
+  // 8 KiB ADTS frame) forces a Channel + pcm vector per element —
+  // gigabytes from a small file
+  static constexpr size_t MAX_CHANS = 32;
   int rate_idx = 3;
   int rate = 48000;
   // channel slots keyed by (element type, instance) in first-seen order
@@ -843,6 +857,7 @@ struct Decoder {
       switch (id) {
         case ID_SCE:
         case ID_LFE: {
+          if (ch_idx + 1 > MAX_CHANS) AAC_FAIL("too_many_channels");
           b.skip(4);  // element_instance_tag
           Channel* c = slot(ch_idx);
           if (!decode_ics(b, *c, rate_idx, false, nullptr, quant, nullptr))
@@ -854,6 +869,7 @@ struct Decoder {
           break;
         }
         case ID_CPE: {
+          if (ch_idx + 2 > MAX_CHANS) AAC_FAIL("too_many_channels");
           b.skip(4);
           Channel* l = slot(ch_idx);
           Channel* r = slot(ch_idx + 1);
@@ -956,9 +972,13 @@ struct Decoder {
                      l.band_cb[g][k] == CB_NOISE) {
             // ms_used on a noise band means CORRELATED noise: the right
             // channel reuses the left channel's noise vector, rescaled
-            // to its own energy (amplitude ratio 2^((sf_r - sf_l)/4))
-            float scale =
-                (float)std::pow(2.0, 0.25 * (r.sf[g][k] - l.sf[g][k]));
+            // to its own energy (amplitude ratio 2^((sf_r - sf_l)/4)).
+            // The difference of two clamped accumulators can still hit
+            // +-1000 on corrupt streams -> 2^250 -> float inf; clamp it
+            int dsf = r.sf[g][k] - l.sf[g][k];
+            if (dsf > 500) dsf = 500;
+            if (dsf < -500) dsf = -500;
+            float scale = (float)std::pow(2.0, 0.25 * dsf);
             for (int i = lo; i < hi; i++)
               r.coef[base + i] = scale * l.coef[base + i];
           } else if (ms && rcb != CB_NOISE &&
@@ -1145,6 +1165,10 @@ extern "C" int ss_decode_aac(const char* path, DecodedWavLayout* out) {
   int64_t allowance = blocks / 10 > 2 ? blocks / 10 : 2;
   if (blocks > 0 && bad > allowance) return -4;
   int ch = (int)dec.pcm.size();
+  // a corrupt block that announced extra elements before failing leaves
+  // permanently-empty tail slots (the atomic rollback zeroes them);
+  // drop them so one bad frame can't collapse min(frames) to 0 below
+  while (ch > 0 && dec.pcm[ch - 1].empty()) ch--;
   if (ch == 0) return -5;
   // Standard channel configurations decode in ELEMENT order
   // (C, L, R, [Lc/Rc,] surrounds, LFE); emit the canonical

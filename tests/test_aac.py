@@ -227,6 +227,94 @@ def test_bitflip_fuzz_never_crashes(tmp_path):
             pass
 
 
+def _rig():
+    """Import the crafted-frame rig (tools/aac_extract) like the
+    feature battery does."""
+    import os
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for sub in ("tools/aac_extract", "tools/mp3_extract"):
+        p = os.path.join(root, sub)
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import validate_crafted
+
+    return validate_crafted
+
+
+def test_hostile_element_flood_rejected(tmp_path):
+    """A crafted frame packed with minimal SCE elements (~29 bits each)
+    must hit the channel-slot cap and be rejected — without the cap it
+    allocates a Channel + pcm vector per element (memory DoS)."""
+    vc = _rig()
+    from frames import BitWriter
+    from frames_aac import Ics, adts_frame
+
+    w = BitWriter()
+    for _ in range(100):
+        w.put(0, 3)                      # SCE
+        w.put(0, 4)                      # element_instance_tag
+        Ics(max_sfb=0).write(w)
+    w.put(7, 3)                          # END
+    payload = w.to_bytes((len(w) + 7) // 8)
+    blob = adts_frame(payload, channels=1) * 4
+    p = str(tmp_path / "flood.aac")
+    open(p, "wb").write(blob)
+    dec = _native()
+    with pytest.raises(DecodeError):
+        dec.decode_aac(p)
+    del vc
+
+
+def test_corrupt_block_extra_channels_dont_poison(tmp_path):
+    """A corrupt CPE block that announces new channel slots before
+    failing must not leave permanently-empty channels behind — one bad
+    frame must not collapse the whole file's min(frames) to zero."""
+    vc = _rig()
+    from frames import BitWriter
+    from frames_aac import adts_frame, silence_frame
+
+    w = BitWriter()
+    w.put(1, 3)                          # CPE (creates two slots)
+    w.put(0, 4)                          # element_instance_tag
+    w.put(1, 1)                          # common_window
+    w.put(0, 1)                          # ics_reserved
+    w.put(0, 2)                          # window_sequence = long
+    w.put(0, 1)                          # window_shape
+    w.put(0, 6)                          # max_sfb
+    w.put(1, 1)                          # predictor_data_present -> fail
+    bad = adts_frame(w.to_bytes((len(w) + 7) // 8), channels=2)
+    good = silence_frame()
+    p = str(tmp_path / "poison.aac")
+    open(p, "wb").write(good * 4 + bad + good * 4)
+    dec = _native()
+    d = dec.decode_aac(p)
+    a = np.asarray(d.samples)
+    assert a.shape == (1, 8 * 1024)
+    del vc
+
+
+def test_hostile_intensity_runaway_stays_finite(tmp_path):
+    """Intensity-stereo dpcm positions accumulated to a huge negative
+    value give a 2^735 scale on a zero left band — inf * 0 = NaN unless
+    the accumulator is clamped. The output must stay finite."""
+    vc = _rig()
+
+    from frames_aac import Ics
+
+    nsw = 49                             # num_swb, long window @48 kHz
+    left = Ics(max_sfb=nsw, sections=[(0, nsw)])
+    right = Ics(max_sfb=nsw, sections=[(15, nsw)],
+                scf_bits=vc._SCF_CW[-60] * nsw)
+    blob = vc.stream2(vc.cpe_frame(left, right, ms_mask=0))
+    p = str(tmp_path / "isrun.aac")
+    open(p, "wb").write(blob)
+    dec = _native()
+    d = dec.decode_aac(p)
+    assert np.isfinite(np.asarray(d.samples)).all()
+
+
 def test_crafted_feature_battery():
     """Run the oracle-driven single-feature conformance battery
     (TNS, window sequences/shapes/grouping, CPE stereo tools)."""
