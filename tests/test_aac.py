@@ -295,6 +295,32 @@ def test_corrupt_block_extra_channels_dont_poison(tmp_path):
     del vc
 
 
+def test_adts_multiple_raw_data_blocks(tmp_path):
+    """ADTS frames may carry up to four byte-aligned raw_data_blocks
+    (number_of_raw_data_blocks_in_frame > 0); every block must be
+    decoded, not just the first. libav decodes only the first, so this
+    is pinned by construction: N frames x 2 silence blocks."""
+    _rig()
+    from frames import BitWriter
+    from frames_aac import Ics, adts_frame
+
+    def rdb():
+        w = BitWriter()
+        w.put(0, 3)                      # SCE
+        w.put(0, 4)                      # element_instance_tag
+        Ics(max_sfb=0).write(w)
+        w.put(7, 3)                      # END
+        return w.to_bytes((len(w) + 7) // 8)
+
+    f = bytearray(adts_frame(rdb() + rdb(), channels=1))
+    f[6] |= 1                            # two raw_data_blocks per frame
+    p = str(tmp_path / "rdb2.aac")
+    open(p, "wb").write(bytes(f) * 4)
+    dec = _native()
+    d = dec.decode_aac(p)
+    assert np.asarray(d.samples).shape == (1, 8 * 1024)
+
+
 def test_hostile_intensity_runaway_stays_finite(tmp_path):
     """Intensity-stereo dpcm positions accumulated to a huge negative
     value give a 2^735 scale on a zero left band — inf * 0 = NaN unless
