@@ -491,12 +491,18 @@ extern "C" int ss_decode_alac(const char* path, DecodedWavLayout* out) {
   static const int kPerm4[] = {1, 2, 0, 3};
   static const int kPerm5[] = {1, 2, 0, 3, 4};
   static const int kPerm6[] = {1, 2, 0, 5, 3, 4};
+  // 6.1 (tag = AAC_6_1, element order C L R Ls Rs Cs LFE) -> the libav
+  // 6.1 order FL FR FC LFE BC SL SR, matching vorbis.cpp's verified
+  // kPerm7 convention (no local oracle: ffmpeg's alac encoder rejects
+  // 6.1, so this rides the sibling decoders' pinned layout)
+  static const int kPerm7[] = {1, 2, 0, 6, 5, 3, 4};
   static const int kPerm8[] = {3, 4, 0, 7, 5, 6, 1, 2};
   const int* perm = nullptr;
   if (cfg.channels == 3) perm = kPerm3;
   else if (cfg.channels == 4) perm = kPerm4;
   else if (cfg.channels == 5) perm = kPerm5;
   else if (cfg.channels == 6) perm = kPerm6;
+  else if (cfg.channels == 7) perm = kPerm7;
   else if (cfg.channels == 8) perm = kPerm8;
   for (int c = 0; c < cfg.channels; c++) {
     float* dst = data + (size_t)c * frames;
