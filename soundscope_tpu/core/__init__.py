@@ -20,8 +20,18 @@ def enable_compile_cache(path: str | None = None) -> None:
         if path is None and getattr(jax.config, "jax_compilation_cache_dir",
                                     None):
             return  # a user-configured cache dir wins over our default
-        cache = path or os.environ.get(
-            "SS_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_comp"))
+        cache = path if path is not None else os.environ.get(
+            "SS_COMPILE_CACHE")
+        if cache == "":
+            # SS_COMPILE_CACHE= (empty) disables persistence entirely.
+            # The test suite uses this: CPU compiles are fast, and the
+            # shared on-disk cache adds real hazards there (concurrent
+            # pytest processes writing the same dir, stale entries from
+            # another container host) — one executable-serialization
+            # segfault was traced to exactly that.
+            return
+        if cache is None:
+            cache = os.path.expanduser("~/.cache/jax_comp")
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # never let observability plumbing break analysis

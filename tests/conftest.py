@@ -8,6 +8,14 @@ vars because the axon plugin registers itself at interpreter start.
 
 import os
 
+# Disable the persistent JAX compile cache for tests (see
+# core.enable_compile_cache): it exists for the slow TPU tunnel, and
+# under pytest it only adds cross-process hazards — concurrent pytest
+# runs write the same directory, and entries AOT-compiled in another
+# container have crashed the executable serializer mid-suite. Must be
+# set before any soundscope_tpu import. An explicit opt-in wins.
+os.environ.setdefault("SS_COMPILE_CACHE", "")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -24,11 +24,10 @@ def main() -> int:
     import jax.numpy as jnp
     import jax.random as jr
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # honors SS_COMPILE_CACHE= (empty) to disable persistence in tests
+    from soundscope_tpu.core import enable_compile_cache
+
+    enable_compile_cache()
 
     from soundscope_tpu.core.config import MeterConfig
     from soundscope_tpu.models.engine import analyze_batch_native

@@ -115,11 +115,12 @@ def main(argv=None) -> int:
 
     if args.interpret:
         jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # honors SS_COMPILE_CACHE= (empty) to disable persistence — the test
+    # suite runs this tool in-process and cache writes there have
+    # crashed the executable serializer mid-suite
+    from soundscope_tpu.core import enable_compile_cache
+
+    enable_compile_cache()
 
     from soundscope_tpu.core import constants as C
     from soundscope_tpu.core.config import MeterConfig
@@ -186,7 +187,7 @@ def main(argv=None) -> int:
     # kernel when eligible — sweep it too so the gate certifies what
     # actually runs (integrated via its z, true peak via its tp)
     fused_ok = kweight_energy_tp_eligible(
-        npad, args.levels, 2, cfg.block, bf.Wt.shape[1], RATE, 1)
+        npad, args.levels, 2, cfg.block, bf.Wt.shape[1], RATE)
     got_integ_f, got_tp_f = None, None
     if fused_ok:
         @jax.jit
