@@ -147,10 +147,6 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
             acc = acc + step(x, n_valid)
         return acc
 
-    reduce_all = jax.jit(
-        lambda out: sum(jnp.sum(jnp.where(jnp.isfinite(v), v, 0.0)) for v in out)
-    )
-
     def make_inputs():
         # generate ON DEVICE: host->device transfer through the dev tunnel
         # is slow and is not what this benchmark measures. (b, 2, N)
@@ -170,7 +166,7 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
         n_valid = jnp.full((b,), n, jnp.int32)
         return xs, n_valid
 
-    return run, step, step_gang, GANG, reduce_all, make_inputs, n
+    return run, step_gang, GANG, make_inputs, n
 
 
 def _enable_compile_cache():
@@ -199,7 +195,7 @@ def main():
     stft_mode = os.environ.get("BENCH_STFT", default_stft)
     log(f"device: {dev}, tracks={b}, seconds={seconds}, stft={stft_mode}, dtype={dtype_name}")
 
-    run, step, step_gang, gang, reduce_all, make_inputs, n = build_bench(
+    run, step_gang, gang, make_inputs, n = build_bench(
         b, seconds, rate, dtype_name)
     t0 = time.time()
     xs, nd = make_inputs()

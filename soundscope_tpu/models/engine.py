@@ -102,7 +102,7 @@ def analyze_batch_native(cfg: MeterConfig):
 
             fuse_tp = _os.environ.get("SS_FUSE_TP", "1") != "0" and (
                 kweight_energy_tp_eligible(
-                    n, b, ch, cfg.block, bf.Wt.shape[1], cfg.rate, g)
+                    n, b, ch, cfg.block, bf.Wt.shape[1], cfg.rate)
             )
             if fuse_tp:
                 z, tpr, spr = kweight_energy_tp_pallas_prefix(

@@ -111,6 +111,42 @@ def _prefix_footprint(k, rows, b, B, ns, tp_kp: int = 0) -> int:
     return tile + const + inter + tp
 
 
+def prefix_constants(bf_Wt, bf_Ot, A_pows, B, kpg, ns):
+    """Precomputed operands shared by the blocked-prefix energy kernels
+    (plain and fused-TP): block powers of A_B as right-multiplying
+    transposes, assembled into the block-diagonal injection matrices and
+    the strict-block-lower-triangular prefix/carry matrices.
+
+    Returns (wt_big, ot_big, t_big, p_big, tend, ab_k). The per-block
+    advance is A_pows[B] (the table is indexed by SAMPLES)."""
+    ab_blk = A_pows[B]
+    mats = [jnp.eye(ns, dtype=jnp.float32)]
+    for _ in range(kpg):
+        mats.append(mats[-1] @ ab_blk)
+    abt = {k: jnp.transpose(mats[k]) for k in range(kpg + 1)}
+
+    def _blockdiag(m, reps):
+        out = jnp.zeros((reps * m.shape[0], reps * m.shape[1]), m.dtype)
+        for i in range(reps):
+            out = out.at[i * m.shape[0]:(i + 1) * m.shape[0],
+                         i * m.shape[1]:(i + 1) * m.shape[1]].set(m)
+        return out
+
+    wt_big = _blockdiag(bf_Wt, kpg)                  # (kpg*B, kpg*ns)
+    ot_big = _blockdiag(bf_Ot, kpg)                  # (kpg*ns, kpg*B)
+    t_big = jnp.zeros((kpg * ns, kpg * ns), jnp.float32)
+    p_big = jnp.zeros((ns, kpg * ns), jnp.float32)
+    tend = jnp.zeros((kpg * ns, ns), jnp.float32)
+    for i in range(kpg):
+        for jb in range(i + 1, kpg):
+            t_big = t_big.at[i * ns:(i + 1) * ns,
+                             jb * ns:(jb + 1) * ns].set(abt[jb - 1 - i])
+        tend = tend.at[i * ns:(i + 1) * ns, :].set(abt[kpg - 1 - i])
+    for jb in range(kpg):
+        p_big = p_big.at[:, jb * ns:(jb + 1) * ns].set(abt[jb])
+    return wt_big, ot_big, t_big, p_big, tend, abt[kpg]
+
+
 def pick_kpg_prefix(nb: int, rows: int, b: int, B: int, ns: int,
                     kmax: int = 32, vmem_cap: int = 14 << 20,
                     tp_kp: int = 0) -> int:
@@ -455,34 +491,8 @@ def kweight_energy_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
 
     kpg = pick_kpg_prefix(nb, rows, b, B, ns)
 
-    # per-block advance is A_pows[B] (the table is indexed by SAMPLES);
-    # its block powers k = 0..kpg as right-multiplying transposes
-    ab_blk = A_pows[B]
-    mats = [jnp.eye(ns, dtype=jnp.float32)]
-    for _ in range(kpg):
-        mats.append(mats[-1] @ ab_blk)
-    abt = {k: jnp.transpose(mats[k]) for k in range(kpg + 1)}
-
-    def _blockdiag(m, reps):
-        out = jnp.zeros((reps * m.shape[0], reps * m.shape[1]), m.dtype)
-        for i in range(reps):
-            out = out.at[i * m.shape[0]:(i + 1) * m.shape[0],
-                         i * m.shape[1]:(i + 1) * m.shape[1]].set(m)
-        return out
-
-    wt_big = _blockdiag(bf_Wt, kpg)                  # (kpg*B, kpg*ns)
-    ot_big = _blockdiag(bf_Ot, kpg)                  # (kpg*ns, kpg*B)
-    t_big = jnp.zeros((kpg * ns, kpg * ns), jnp.float32)
-    p_big = jnp.zeros((ns, kpg * ns), jnp.float32)
-    tend = jnp.zeros((kpg * ns, ns), jnp.float32)
-    for i in range(kpg):
-        for jb in range(i + 1, kpg):
-            t_big = t_big.at[i * ns:(i + 1) * ns,
-                             jb * ns:(jb + 1) * ns].set(abt[jb - 1 - i])
-        tend = tend.at[i * ns:(i + 1) * ns, :].set(abt[kpg - 1 - i])
-    for jb in range(kpg):
-        p_big = p_big.at[:, jb * ns:(jb + 1) * ns].set(abt[jb])
-    ab_k = abt[kpg]
+    wt_big, ot_big, t_big, p_big, tend, ab_k = prefix_constants(
+        bf_Wt, bf_Ot, A_pows, B, kpg, ns)
 
     kernel = _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns, group)
     tt_lo = bf_Tt - bf_Tt.astype(jnp.bfloat16).astype(jnp.float32)
@@ -555,32 +565,8 @@ def kweight_energy_tp_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
 
     kpg = pick_kpg_prefix(nb, rows, b, B, ns, tp_kp=tp_taps.shape[1])
 
-    ab_blk = A_pows[B]
-    mats = [jnp.eye(ns, dtype=jnp.float32)]
-    for _ in range(kpg):
-        mats.append(mats[-1] @ ab_blk)
-    abt = {k: jnp.transpose(mats[k]) for k in range(kpg + 1)}
-
-    def _blockdiag(m, reps):
-        out = jnp.zeros((reps * m.shape[0], reps * m.shape[1]), m.dtype)
-        for i in range(reps):
-            out = out.at[i * m.shape[0]:(i + 1) * m.shape[0],
-                         i * m.shape[1]:(i + 1) * m.shape[1]].set(m)
-        return out
-
-    wt_big = _blockdiag(bf_Wt, kpg)
-    ot_big = _blockdiag(bf_Ot, kpg)
-    t_big = jnp.zeros((kpg * ns, kpg * ns), jnp.float32)
-    p_big = jnp.zeros((ns, kpg * ns), jnp.float32)
-    tend = jnp.zeros((kpg * ns, ns), jnp.float32)
-    for i in range(kpg):
-        for jb in range(i + 1, kpg):
-            t_big = t_big.at[i * ns:(i + 1) * ns,
-                             jb * ns:(jb + 1) * ns].set(abt[jb - 1 - i])
-        tend = tend.at[i * ns:(i + 1) * ns, :].set(abt[kpg - 1 - i])
-    for jb in range(kpg):
-        p_big = p_big.at[:, jb * ns:(jb + 1) * ns].set(abt[jb])
-    ab_k = abt[kpg]
+    wt_big, ot_big, t_big, p_big, tend, ab_k = prefix_constants(
+        bf_Wt, bf_Ot, A_pows, B, kpg, ns)
 
     nsteps = nb // kpg
     kernel = _energy_prefix_kernel_factory(b, ch, weights, kpg, B, ns,
@@ -636,9 +622,14 @@ def kweight_energy_tp_pallas_prefix(bf_Tt, bf_Wt, bf_Ot, A_pows, x, n_valid,
     return z, tp.reshape(rows), sp.reshape(rows)
 
 
-def kweight_energy_tp_eligible(n, b, ch, B, ns, rate, group) -> bool:
+def kweight_energy_tp_eligible(n, b, ch, B, ns, rate) -> bool:
     """The fused energy+true-peak kernel applies when the prefix variant
-    would be chosen anyway and the rate needs oversampling."""
+    would be chosen anyway and the rate needs oversampling.
+
+    Output grouping is deliberately absent: it only SHRINKS the z tile,
+    so the conservative footprint here stays valid for any group, and
+    keeping the kpg policy identical to the kernels' own picks is what
+    makes this predicate trustworthy."""
     from soundscope_tpu.core import constants as C
     from soundscope_tpu.ops.truepeak import _polyphase_taps
 
