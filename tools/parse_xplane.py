@@ -14,32 +14,26 @@ layout plumbing show up. This is the tool behind the "Where the time
 goes" tables in docs/KERNELS.md.
 """
 
+import argparse
 import sys
 from collections import defaultdict
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if not args:
-        print(__doc__)
-        return 2
-    top = 30
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
-    show_events = "--events" in sys.argv
-
+def _parse_one(path: str, top: int, show_events: bool) -> None:
     # the proto ships inside the tensorflow wheel in this image; xprof's
     # own package does not expose it
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     space = xplane_pb2.XSpace()
-    with open(args[0], "rb") as f:
+    with open(path, "rb") as f:
         space.ParseFromString(f.read())
 
     for plane in space.planes:
         if "TPU" not in plane.name:
             continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        # key on the map key, not XEventMetadata.id — producers may leave
+        # the id field unset and rely on the map key alone
+        ev_meta = {k: m.name for k, m in plane.event_metadata.items()}
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
@@ -60,6 +54,8 @@ def main() -> int:
                 f"plane={plane.name} span={span / 1e9:.2f} ms "
                 f"busy={total / 1e9:.2f} ms events={sum(cnt.values())}"
             )
+            if not total:
+                continue
             fam = defaultdict(int)
             famc = defaultdict(int)
             for name, d in tot.items():
@@ -75,6 +71,21 @@ def main() -> int:
                 print("-- top individual events --")
                 for n, d in sorted(tot.items(), key=lambda kv: -kv[1])[:top]:
                     print(f"  {d / 1e9:8.2f} ms x{cnt[n]:<4d} {n[:220]}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    ap.add_argument("paths", nargs="+", help="*.xplane.pb capture file(s)")
+    ap.add_argument("--top", type=int, default=30, help="rows per table")
+    ap.add_argument("--events", action="store_true",
+                    help="also print top individual events (full HLO names)")
+    args = ap.parse_args()
+    for i, path in enumerate(args.paths):
+        if len(args.paths) > 1:
+            print(f"=== {path} ===" if i == 0 else f"\n=== {path} ===")
+        _parse_one(path, args.top, args.events)
     return 0
 
 
