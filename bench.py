@@ -101,6 +101,16 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
     default_stft = "pallas" if jax.default_backend() == "tpu" else "chunked"
     stft_mode = os.environ.get("BENCH_STFT", default_stft)
 
+    from soundscope_tpu.core import constants as CC
+    from soundscope_tpu.ops.pallas_iir_chunked import chunked_plan
+
+    use_frames = (
+        stft_mode == "pallas"
+        and n % 128 == 0
+        and chunked_plan(n, n // 128, 2 * b, cfg.subblock,
+                         CC.true_peak_factor(rate)) is not None
+    )
+
     @jax.jit
     def stft_oneshot(x):
         _, mid_db, side_db = stft_midside_display(x[:, 0], x[:, 1], rate, dtype=dtype)
@@ -108,9 +118,15 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
 
     @jax.jit
     def stft_pallas(x):
-        from soundscope_tpu.ops.pallas_stft import stft_pooled_pallas_packed
+        from soundscope_tpu.ops.pallas_stft import (
+            stft_pooled_pallas_frames,
+            stft_pooled_pallas_packed,
+        )
 
-        mid_db, side_db = stft_pooled_pallas_packed(x, rate, dtype=dtype)
+        if x.ndim == 4:
+            mid_db, side_db = stft_pooled_pallas_frames(x, rate, dtype=dtype)
+        else:
+            mid_db, side_db = stft_pooled_pallas_packed(x, rate, dtype=dtype)
         return jnp.max(mid_db, axis=(-2, -1)), jnp.max(side_db, axis=(-2, -1))
 
     stft = {"oneshot": stft_oneshot, "pallas": stft_pallas,
@@ -149,24 +165,90 @@ def build_bench(b, seconds, rate, dtype_name="bf16"):
 
     def make_inputs():
         # generate ON DEVICE: host->device transfer through the dev tunnel
-        # is slow and is not what this benchmark measures. (b, 2, N)
-        # packed stereo: analyze flattens to rows once (CSE-shared by
-        # the energy + true-peak kernels inside the fused step) and the
-        # STFT kernel builds its frame view from the same array; feeding
-        # rows (b*ch, N) directly instead was measured WORSE here — the
-        # STFT-side relayout becomes a 9.4 ms cross-track gather vs this
-        # layout's 2x3.4 ms (the CLI, which has no display STFT in its
-        # batch path, does upload rows).
+        # is slow and is not what this benchmark measures. The canonical
+        # layout is the 4D frames view (b, 2, N/128, 128): XLA tiles it
+        # T(8,128) natively, which BOTH the STFT kernel and the chunked
+        # energy+true-peak kernel consume with zero relayout (the round-4
+        # trace showed 6.9 ms/iter of structural retiles feeding the two
+        # kernels from a (b, 2, N) T(2,128) parameter; rows (b*ch, N) was
+        # also measured worse — a 9.4 ms cross-track gather on the STFT
+        # side). Fall back to 3D when the chunked kernel is ineligible
+        # for this rate/shape.
         import jax.random as jr
 
+        shape = (b, 2, n // 128, 128) if use_frames else (b, 2, n)
+        log(f"input layout: {'4D frames' if use_frames else '3D packed'} "
+            f"{shape}")
         xs = tuple(
-            jr.normal(jr.PRNGKey(k), (b, 2, n), jnp.float32) * 0.1
+            jr.normal(jr.PRNGKey(k), shape, jnp.float32) * 0.1
             for k in range(GANG)
         )
         n_valid = jnp.full((b,), n, jnp.int32)
         return xs, n_valid
 
-    return run, step_gang, GANG, make_inputs, n
+    return run, step_gang, GANG, make_inputs, n, stft_mode, use_frames
+
+
+def roofline(b, n, rate, stft_mode, use_frames):
+    """Analytic per-iteration resource model -> utilization fields.
+
+    Counts the flops/bytes the workload ISSUES per sustained iteration
+    (VERDICT r4 #4: tie chip utilization to the headline number). The
+    model matches the round-4/5 xprof traces (docs/KERNELS.md):
+
+    - STFT kernel (ops/pallas_stft.py): per 16384-pt window, stage 1 =
+      4 matmuls (128,128)@(128,128), stage 2 = 8 matmuls
+      (128,128)@(128,64) (k2 < 64 only) -> 50.3 MFLOP/window on the MXU;
+      twiddle/power/pool ~1 MFLOP/window on the VPU; input read once.
+    - Fused K-weight energy + true peak (ops/pallas_iir_chunked.py /
+      pallas_iir.py): bf16x2 Toeplitz = 512 MXU flops/sample, state/out
+      matmuls ~24; FIR = 47 nonzero taps x ~4 VPU ops (roll+select+FMA)
+      + ~10 square/mask/max -> ~200 VPU flops/sample; input read once.
+    - 3D (non-frames) layout adds the two structural retiles: one
+      read+write of the input each (round-4 trace, 6.9 ms/iter).
+
+    Peaks (TPU v5e, public): 197 TFLOP/s bf16 MXU; VPU = 4 FMA ALUs x
+    (8x128) lanes x 2 x ~1.5 GHz = 12.3 TFLOP/s f32; HBM 819 GB/s.
+    `sol_frac` is the roofline bound: sum over stages of
+    max(mxu, vpu, hbm) time, divided by the measured iteration time.
+    """
+    MXU_PEAK = 197e12
+    VPU_PEAK = 12.3e12
+    HBM_BW = 819e9
+
+    ch = 2
+    rows = b * ch
+    in_bytes = rows * n * 4
+
+    hop, win = 2048, 16384
+    nw = (n // hop) - (win // hop - 1)
+    stft_mxu = b * nw * (4 * 2 * 128**3 + 8 * 2 * 128 * 128 * 64)
+    stft_vpu = b * nw * 1.0e6
+    stft = (stft_mxu, stft_vpu, in_bytes)
+
+    energy_mxu = rows * n * (512 + 24)
+    energy_vpu = rows * n * 200.0
+    energy = (energy_mxu, energy_vpu, in_bytes)
+
+    stages = [stft, energy] if stft_mode == "pallas" else [energy]
+    retile_bytes = 0 if use_frames or stft_mode != "pallas" else 4 * in_bytes
+
+    mxu = sum(s[0] for s in stages)
+    vpu = sum(s[1] for s in stages)
+    hbm = sum(s[2] for s in stages) + retile_bytes
+    sol_s = sum(
+        max(s[0] / MXU_PEAK, s[1] / VPU_PEAK, s[2] / HBM_BW) for s in stages
+    ) + retile_bytes / HBM_BW
+
+    def fields(iter_s):
+        return {
+            "mxu_util": round(mxu / MXU_PEAK / iter_s, 3),
+            "vpu_util": round(vpu / VPU_PEAK / iter_s, 3),
+            "hbm_util": round(hbm / HBM_BW / iter_s, 3),
+            "sol_frac": round(sol_s / iter_s, 3),
+        }
+
+    return fields
 
 
 def _enable_compile_cache():
@@ -191,12 +273,11 @@ def main():
     rate = int(os.environ.get("BENCH_RATE", "48000"))
 
     dev = jax.devices()[0]
-    default_stft = "pallas" if jax.default_backend() == "tpu" else "chunked"
-    stft_mode = os.environ.get("BENCH_STFT", default_stft)
-    log(f"device: {dev}, tracks={b}, seconds={seconds}, stft={stft_mode}, dtype={dtype_name}")
 
-    run, step_gang, gang, make_inputs, n = build_bench(
+    run, step_gang, gang, make_inputs, n, stft_mode, use_frames = build_bench(
         b, seconds, rate, dtype_name)
+    log(f"device: {dev}, tracks={b}, seconds={seconds}, stft={stft_mode}, "
+        f"dtype={dtype_name}, layout={'4D frames' if use_frames else '3D'}")
     t0 = time.time()
     xs, nd = make_inputs()
     jax.block_until_ready(xs)
@@ -258,11 +339,14 @@ def main():
     audio_sec = b * (n / rate)
     rt = audio_sec / best
     log(f"integrated[0]={float(out[0][0]):.2f} LUFS (sanity)")
+    util = roofline(b, n, rate, stft_mode, use_frames)(best)
+    log(f"roofline (analytic, v5e peaks): {util}")
     print(json.dumps({
         "metric": "rt_factor_lufs_stft",
         "value": round(rt, 1),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rt / 10000.0, 3),
+        **util,
     }))
     return rt
 

@@ -64,68 +64,10 @@ def analyze_batch_native(cfg: MeterConfig):
 
     w_tuple = tuple(float(v) for v in channel_weights(cfg.channels))
 
-    def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
-        # Rows layout (b*ch, N) skips the (b, ch, N) -> (b*ch, N)
-        # relayout XLA otherwise emits before every Pallas kernel
-        # (T(2,128) -> T(8,128) retiling, ~3.4 ms/iter on the 32x60 s
-        # bench shape — round-4 chip trace). Upload batches channel-minor
-        # and pass them 2D to get the fast path; 3D still works.
-        if samples.ndim == 2:
-            ch = cfg.channels
-            b, n = samples.shape[0] // ch, samples.shape[1]
-        else:
-            b, ch, n = samples.shape
-        use_pallas = cfg.iir_impl == "pallas" or (
-            cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
-        )
-        tp_fused = None
-        if use_pallas and n % cfg.block == 0:
-            # fused: filter + mask + weighted-square + channel-sum in one
-            # Pallas pass; y never touches HBM. When the 100 ms sub-block
-            # divides by 32 (48 k/32 k/24 k/16 k/12 k/8 k families) the
-            # kernel also pre-sums 32-sample groups, shrinking its HBM
-            # writes 32x and killing the layout-repack loop XLA otherwise
-            # emits for the sub-block reduction (~20% of bench device
-            # time, round-3 chip trace in docs/KERNELS.md).
-            from soundscope_tpu.ops.pallas_iir import (
-                kweight_energy_pallas_auto,
-                kweight_energy_tp_eligible,
-                kweight_energy_tp_pallas_prefix,
-            )
-
-            g = 32 if h % 32 == 0 and cfg.block % 32 == 0 else 1
-            # Fused energy + true-peak kernel when the prefix variant
-            # applies: the FIR's VPU work dual-issues with the prefix
-            # matmuls' MXU work and the input streams from HBM once
-            # (SS_FUSE_TP=0 reverts to the two standalone kernels).
-            import os as _os
-
-            fuse_tp = _os.environ.get("SS_FUSE_TP", "1") != "0" and (
-                kweight_energy_tp_eligible(
-                    n, b, ch, cfg.block, bf.Wt.shape[1], cfg.rate)
-            )
-            if fuse_tp:
-                z, tpr, spr = kweight_energy_tp_pallas_prefix(
-                    bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
-                    samples, n_valid, w_tuple, cfg.rate, group=g,
-                )
-                tp_fused = (tpr.reshape(b, ch), spr.reshape(b, ch))
-            else:
-                z = kweight_energy_pallas_auto(
-                    bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
-                    samples, n_valid, w_tuple, group=g,
-                )
-            nb_sub = z.shape[-1] // (h // g)
-            sums = z[..., : nb_sub * (h // g)].reshape(
-                b, nb_sub, h // g).sum(axis=-1)
-        else:
-            s3 = samples.reshape(b, ch, n)
-            nv = n_valid[:, None, None]
-            y, _ = block_iir(bf, s3, jnp.zeros((b, ch, 4), jnp.float32))
-            pos = jnp.arange(n)
-            y = jnp.where(pos[None, None, :] < nv, y, 0.0)
-            z = L.weighted_square(y, weights)
-            sums = L.subblock_sums(z, h)
+    def _finish(samples, n_valid, sums, tp_fused, b, ch, n, use_pallas):
+        """Gating/timeline/LRA/true-peak tail shared by every front-end
+        layout path; `sums` is (b, nb) 100 ms sub-block energies."""
+        h = cfg.subblock
         nb = sums.shape[-1]
         nb_valid = n_valid // h
 
@@ -176,6 +118,99 @@ def analyze_batch_native(cfg: MeterConfig):
             n_momentary=n_mom, n_shortterm=n_st,
             true_peak=tp, sample_peak=sp,
         )
+
+    def analyze(samples: jnp.ndarray, n_valid: jnp.ndarray) -> AnalysisResult:
+        # Layouts, fastest first (round-4/5 chip traces, docs/KERNELS.md):
+        #   4D frames (b, ch, N/128, 128): the canonical device layout —
+        #     the display-STFT kernel's native view AND the chunked
+        #     energy+true-peak kernel's native view, so the GB-scale
+        #     input is never relaid out at all.
+        #   2D rows (b*ch, N) channel-minor: native for the rows-layout
+        #     energy kernels (but the STFT side then pays a cross-track
+        #     gather, so batch CLI only).
+        #   3D (b, ch, N): always works; XLA inserts T(2,128)->T(8,128)
+        #     retiles in front of the kernels (~6.9 ms/iter at 32x60 s).
+        use_pallas = cfg.iir_impl == "pallas" or (
+            cfg.iir_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        tp_fused = None
+        h = cfg.subblock
+        if samples.ndim == 4:
+            from soundscope_tpu.ops.pallas_iir_chunked import (
+                chunked_plan,
+                kweight_energy_tp_chunked,
+                subblock_sums_from_steps,
+            )
+
+            b, ch, nc, _ = samples.shape
+            n = nc * 128
+            S = (chunked_plan(n, nc, b * ch, h, cfg.true_peak_factor)
+                 if use_pallas else None)
+            if S is not None:
+                bf128 = make_block_filter(kweight_cascade_ss(cfg.rate), 128)
+                step_sums, tpr, spr = kweight_energy_tp_chunked(
+                    bf128.Tt, bf128.Wt, bf128.Ot, bf128.A_pows,
+                    samples, n_valid, w_tuple, cfg.rate, h, S=S)
+                sums = subblock_sums_from_steps(
+                    step_sums, h, S * 128, n).reshape(b, ch, -1).sum(axis=1)
+                tp_fused = (tpr.reshape(b, ch), spr.reshape(b, ch))
+                return _finish(samples, n_valid, sums, tp_fused, b, ch, n,
+                               use_pallas)
+            samples = samples.reshape(b, ch, n)
+        if samples.ndim == 2:
+            ch = cfg.channels
+            b, n = samples.shape[0] // ch, samples.shape[1]
+        else:
+            b, ch, n = samples.shape
+        if use_pallas and n % cfg.block == 0:
+            # fused: filter + mask + weighted-square + channel-sum in one
+            # Pallas pass; y never touches HBM. When the 100 ms sub-block
+            # divides by 32 (48 k/32 k/24 k/16 k/12 k/8 k families) the
+            # kernel also pre-sums 32-sample groups, shrinking its HBM
+            # writes 32x and killing the layout-repack loop XLA otherwise
+            # emits for the sub-block reduction (~20% of bench device
+            # time, round-3 chip trace in docs/KERNELS.md).
+            from soundscope_tpu.ops.pallas_iir import (
+                kweight_energy_pallas_auto,
+                kweight_energy_tp_eligible,
+                kweight_energy_tp_pallas_prefix,
+            )
+
+            g = 32 if h % 32 == 0 and cfg.block % 32 == 0 else 1
+            # Fused energy + true-peak kernel when the prefix variant
+            # applies: the FIR's VPU work dual-issues with the prefix
+            # matmuls' MXU work and the input streams from HBM once
+            # (SS_FUSE_TP=0 reverts to the two standalone kernels).
+            import os as _os
+
+            fuse_tp = _os.environ.get("SS_FUSE_TP", "1") != "0" and (
+                kweight_energy_tp_eligible(
+                    n, b, ch, cfg.block, bf.Wt.shape[1], cfg.rate)
+            )
+            if fuse_tp:
+                z, tpr, spr = kweight_energy_tp_pallas_prefix(
+                    bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
+                    samples, n_valid, w_tuple, cfg.rate, group=g,
+                )
+                tp_fused = (tpr.reshape(b, ch), spr.reshape(b, ch))
+            else:
+                z = kweight_energy_pallas_auto(
+                    bf.Tt, bf.Wt, bf.Ot, bf.A_pows,
+                    samples, n_valid, w_tuple, group=g,
+                )
+            nb_sub = z.shape[-1] // (h // g)
+            sums = z[..., : nb_sub * (h // g)].reshape(
+                b, nb_sub, h // g).sum(axis=-1)
+        else:
+            s3 = samples.reshape(b, ch, n)
+            nv = n_valid[:, None, None]
+            y, _ = block_iir(bf, s3, jnp.zeros((b, ch, 4), jnp.float32))
+            pos = jnp.arange(n)
+            y = jnp.where(pos[None, None, :] < nv, y, 0.0)
+            z = L.weighted_square(y, weights)
+            sums = L.subblock_sums(z, h)
+        return _finish(samples, n_valid, sums, tp_fused, b, ch, n,
+                       use_pallas)
 
     return analyze
 

@@ -247,11 +247,40 @@ def stft_pooled_pallas_packed(x, rate: int, wchunk: int | None = None,
     callers that already hold (B, 2, N) samples — the engine, the bench —
     pay NO XLA channel-split / dtype-convert / reshape passes on the
     GB-scale input (measured ~4.5 ms/iter of pure layout plumbing on the
-    round-3 trace, docs/KERNELS.md).
+    round-3 trace, docs/KERNELS.md). NOTE: XLA still retiles the
+    T(2,128)-laid-out 3D parameter into the frame view's T(8,128)
+    (4.6 ms/iter at 32x60 s, round-4 trace) — callers that can hold the
+    4D frames array should call `stft_pooled_pallas_frames` directly.
 
     N must satisfy (N // HOP - K + 1) % wchunk == 0 after truncation; the
     trailing remainder windows are dropped (callers pad or accept — the
     bench and spectrogram products use aligned lengths).
+    """
+    b, ch, n = x.shape
+    assert ch == 2, "packed STFT expects (B, 2, N) stereo"
+    nhop = n // HOP
+    rows = nhop * HOP // N2
+    # (B, 2, N/128, 128): contiguous per channel, so this reshape is free
+    # in index math (it is a relayout in memory); window w = 128 rows
+    # starting at row 16*w (aligned)
+    frames = x[:, :, : nhop * HOP].reshape(b, 2, rows, N2)
+    return stft_pooled_pallas_frames(frames, rate, wchunk=wchunk,
+                                     interpret=interpret, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "wchunk", "interpret", "dtype"))
+def stft_pooled_pallas_frames(frames, rate: int, wchunk: int | None = None,
+                              interpret: bool = False, dtype=jnp.float32):
+    """frames: (B, 2, N/128, 128) planar stereo in the kernel's NATIVE
+    tiling -> (mid_db, side_db): (B, nw, BANDS).
+
+    This is the zero-relayout entry: a (B, 2, N/128, 128) device array is
+    laid out T(8,128) by XLA exactly as the kernel's window DMAs want it,
+    so the GB-scale input is consumed with no retile at all (the 3D entry
+    pays 4.6 ms/iter at 32x60 s — round-4 trace, docs/KERNELS.md). The
+    chunked energy kernel (ops/pallas_iir_chunked.py) consumes the SAME
+    layout, making (B, 2, N/128, 128) the canonical device layout for
+    batch analysis.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -260,19 +289,15 @@ def stft_pooled_pallas_packed(x, rate: int, wchunk: int | None = None,
         # f32 intermediates are twice the size; 16 windows/chunk with the
         # double-buffered window scratch overflows the 16 MB VMEM budget
         wchunk = 16 if dtype == jnp.bfloat16 else 8
-    in_dtype = x.dtype
+    in_dtype = frames.dtype
 
     (f1r, f1i, f2r, f2i, twr, twi, hann, g2, per, _) = _consts(rate)
-    b, ch, n = x.shape
-    assert ch == 2, "packed STFT expects (B, 2, N) stereo"
-    nhop = n // HOP
+    b, ch, rows, n2 = frames.shape
+    assert ch == 2 and n2 == N2, "frames STFT expects (B, 2, N/128, 128)"
+    nhop = rows * N2 // HOP
     nw_full = nhop - K + 1
     nw = (nw_full // wchunk) * wchunk
     nwc = nw // wchunk
-    rows = nhop * HOP // N2
-    # (B, 2, N/128, 128): contiguous per channel, so this reshape is free;
-    # window w = 128 rows starting at row 16*w (aligned)
-    frames = x[:, :, : nhop * HOP].reshape(b, 2, rows, N2)
 
     kernel = _make_kernel(wchunk, per, dtype)
 
