@@ -353,7 +353,9 @@ int ss_decode_flac(const char* path, DecodedWavLayout* out) {
     } else if (chan_code == 10) {  // mid/side
       for (uint32_t i = 0; i < bsize; i++) {
         int64_t s = sub[1][i];
-        int64_t m2 = (sub[0][i] << 1) | (s & 1);
+        // shift in unsigned space: << of a negative mid is UB (hostile
+        // streams reach here with any value; found by tools/fuzz)
+        int64_t m2 = (int64_t)(((uint64_t)sub[0][i] << 1) | (uint64_t)(s & 1));
         sub[0][i] = (m2 + s) >> 1;
         sub[1][i] = (m2 - s) >> 1;
       }
