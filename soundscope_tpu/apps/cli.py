@@ -299,33 +299,44 @@ def cmd_warmup(args) -> int:
     from soundscope_tpu.core.config import MeterConfig
     from soundscope_tpu.models.engine import analyze_batch_native, pad_bucket
 
+    from concurrent.futures import ThreadPoolExecutor
+
     rates = [int(r) for r in args.rates.split(",") if r.strip()]
     batches = [int(b) for b in args.batch.split(",") if b.strip()]
     t0 = time.time()
-    total = 0
+    tasks = []
     for rate in rates:
         cfg = MeterConfig(channels=2, rate=rate, max_blocks=0)
         fn = jax.jit(analyze_batch_native(cfg))
         n = pad_bucket(1)  # minimum bucket
         while True:
             for bsz in batches:
-                # rows layout (b*ch, n): the shape _analyze_bucket
-                # actually compiles (keep in lockstep or warmed
-                # programs never match)
-                xs = jax.ShapeDtypeStruct((bsz * 2, n), jnp.float32)
-                nv = jax.ShapeDtypeStruct((bsz,), jnp.int32)
-                t = time.time()
-                fn.lower(xs, nv).compile()  # AOT: no data, cache-persisted
-                total += 1
-                print(
-                    f"warmed rate={rate} samples={n} batch={bsz} "
-                    f"({time.time() - t:.1f}s)",
-                    flush=True,
-                )
+                tasks.append((fn, rate, n, bsz))
             if n / rate >= args.max_seconds:
                 break
             n <<= 1
-    print(f"warmup: {total} programs in {time.time() - t0:.1f}s")
+
+    def compile_one(task):
+        fn, rate, n, bsz = task
+        # rows layout (b*ch, n): the shape _analyze_bucket actually
+        # compiles (keep in lockstep or warmed programs never match)
+        xs = jax.ShapeDtypeStruct((bsz * 2, n), jnp.float32)
+        nv = jax.ShapeDtypeStruct((bsz,), jnp.int32)
+        t = time.time()
+        fn.lower(xs, nv).compile()  # AOT: no data, cache-persisted
+        print(f"warmed rate={rate} samples={n} batch={bsz} "
+              f"({time.time() - t:.1f}s)", flush=True)
+
+    # XLA compilation happens in C++ with the GIL released, so the grid
+    # compiles core-parallel; the persistent cache writes are atomic
+    # (temp+rename), so concurrent fills are safe. Measured through the
+    # TPU tunnel: the 24-program default grid cold-fills in roughly the
+    # wall time of its ~3 slowest programs instead of their sum.
+    jobs = max(1, args.jobs or min(os.cpu_count() or 4, 8))
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        list(ex.map(compile_one, tasks))
+    print(f"warmup: {len(tasks)} programs in {time.time() - t0:.1f}s "
+          f"({jobs} parallel)")
     return 0
 
 
@@ -399,6 +410,8 @@ def main(argv=None) -> int:
                    help="warm buckets up to this audio duration (default 900)")
     w.add_argument("--batch", default="1",
                    help="comma-separated batch sizes to warm (default 1)")
+    w.add_argument("--jobs", type=int, default=0,
+                   help="parallel compile workers (default: min(cores, 8))")
     w.set_defaults(fn=cmd_warmup)
 
     args = ap.parse_args(argv)

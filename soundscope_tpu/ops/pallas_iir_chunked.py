@@ -86,17 +86,16 @@ def chunked_plan(n: int, nc: int, rows: int, h: int, factor: int,
 def _selectors(rows: int, S: int):
     """0/1 selector matrices for sublane-axis reductions (the one axis
     Mosaic can't reshape into lanes cheaply): group-sum (rows, rows*S),
-    last-of-group (rows, rows*S), and the TRANSPOSED first-of-group
-    (rows*S, rows) — passed pre-transposed so the kernel never
-    transposes a VMEM array."""
+    last-of-group (rows, rows*S), and first-of-group (rows, rows*S,
+    contracted on the axis that makes each use transpose-free)."""
     m1 = np.zeros((rows, rows * S), np.float32)
     last = np.zeros((rows, rows * S), np.float32)
-    first_t = np.zeros((rows * S, rows), np.float32)
+    first = np.zeros((rows, rows * S), np.float32)
     for r in range(rows):
         m1[r, r * S:(r + 1) * S] = 1.0
         last[r, r * S + S - 1] = 1.0
-        first_t[r * S, r] = 1.0
-    return m1, last, first_t
+        first[r, r * S] = 1.0
+    return m1, last, first
 
 
 def _chunked_kernel_factory(b, ch, S, weights, h, ks, tp_taps, nsteps):
@@ -115,17 +114,21 @@ def _chunked_kernel_factory(b, ch, S, weights, h, ks, tp_taps, nsteps):
     w_list = [float(v) for v in weights]
     uniform_w = all(w == 1.0 for w in w_list)
     mode = os.environ.get("SS_ENERGY_PREC", "bf16x2")
+    # perf archaeology ONLY (tools/chunked_microbench.py): disable kernel
+    # stages to attribute device time. Produces WRONG results.
+    ablate = set(filter(None, os.environ.get(
+        "SS_CHUNKED_ABLATE", "").split(",")))
     hiP = jax.lax.Precision.HIGHEST
     if tp_taps is not None:
         F, Kp = tp_taps.shape
 
     def kernel(x_ref, nvr_ref, tt_ref, ttlo_ref, wt_ref, ot_ref,
-               abt_ref, m1_ref, last_ref, firstt_ref, sums_ref, tp_ref,
+               abt_ref, m1_ref, last_ref, first_ref, sums_ref, tp_ref,
                sp_ref, carry, prev_x, run_tp, run_sp):
         j = pl.program_id(0)
-        first = j == 0
+        ns = wt_ref.shape[1]
 
-        @pl.when(first)
+        @pl.when(j == 0)
         def _():
             carry[:] = jnp.zeros_like(carry)
             prev_x[:] = jnp.zeros_like(prev_x)
@@ -140,30 +143,39 @@ def _chunked_kernel_factory(b, ch, S, weights, h, ks, tp_taps, nsteps):
         g = (j * S + jg) * 128 + lane
         valid = g < nvr_ref[:]
 
+        def dg(a, bb, dims):
+            return jax.lax.dot_general(
+                a, bb, (dims, ((), ())),
+                preferred_element_type=jnp.float32, precision=hiP)
+
         # ---- K-weight filter: S chunks per signal in one batch -------
+        # The inter-chunk state scan runs in TRANSPOSED (ns, RS) layout:
+        # the chunk axis lives on LANES, so every roll in the doubling
+        # scan is a cheap lane shift instead of a cross-sublane shuffle
+        # (measured 7.6 ms/iter of the 32x60 s bench in the sublane
+        # orientation — docs/KERNELS.md round 5). dot_general contraction
+        # axes are picked so NOTHING is ever transposed in VMEM.
         y0 = toeplitz_dot(x, tt_ref, ttlo_ref, mode)      # (RS, 128)
-        w_in = jnp.dot(x, wt_ref[:], preferred_element_type=jnp.float32,
-                       precision=hiP)                     # (RS, 4)
-        sub4 = jax.lax.broadcasted_iota(jnp.int32, (RS, 4), 0) % S
+        # w_inT[m, q] = sum_l x[q, l] Wt[l, m]            # (ns, RS)
+        w_inT = dg(wt_ref[:], x, ((0,), (1,)))
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (ns, RS), 1) % S
         # V[j] = W[j-1] within the group; V[0] = the carried state,
-        # scattered to group starts by the first-of-group selector
-        carry_rep = jnp.dot(firstt_ref[:], carry[:],
-                            preferred_element_type=jnp.float32,
-                            precision=hiP)                # (RS, 4), rows at j=0
-        s = jnp.where(sub4 == 0, carry_rep, pltpu.roll(w_in, 1, 0))
-        # doubling scan: s[j] <- sum_{i<=j} V[i] @ (A^128)^(j-i)
-        for ki, k in enumerate(ks):
-            adv = jnp.dot(pltpu.roll(s, k, 0), abt_ref[ki],
-                          preferred_element_type=jnp.float32, precision=hiP)
-            s = s + jnp.where(sub4 >= k, adv, 0.0)
-        y = y0 + jnp.dot(s, ot_ref[:], preferred_element_type=jnp.float32,
-                         precision=hiP)
+        # scattered to group starts (carryT @ first)
+        carry_rep = dg(carry[:], first_ref[:], ((1,), (0,)))  # (ns, RS)
+        s = jnp.where(lane_q == 0, carry_rep, pltpu.roll(w_inT, 1, 1))
+        if "scan" not in ablate:
+            # doubling scan: s[:, q] <- sum_{i<=q} (A^128)^(q-i) V[:, i];
+            # abt[k] = ((A^128)^(2^k))^T, so contracting its FIRST axis
+            # applies the untransposed power on the left.
+            for ki, k in enumerate(ks):
+                adv = dg(abt_ref[ki], pltpu.roll(s, k, 1), ((0,), (0,)))
+                s = s + jnp.where(lane_q >= k, adv, 0.0)
+        # y = y0 + s^T Ot: contract the state axis of both (no transpose)
+        y = y0 + dg(s, ot_ref[:], ((0,), (0,)))           # (RS, 128)
         # cross-step carry: state AFTER the group's last chunk
-        s_out_last = jnp.dot(s, abt_ref[0],
-                             preferred_element_type=jnp.float32,
-                             precision=hiP) + w_in
-        carry[:] = jnp.dot(last_ref[:], s_out_last,
-                           preferred_element_type=jnp.float32, precision=hiP)
+        s_out_last = dg(abt_ref[0], s, ((0,), (0,))) + w_inT
+        if "carry" not in ablate:
+            carry[:] = dg(s_out_last, last_ref[:], ((1,), (1,)))  # (ns, rows)
 
         # ---- gating energies: step totals + pre-boundary split -------
         z = y * y
@@ -191,15 +203,18 @@ def _chunked_kernel_factory(b, ch, S, weights, h, ks, tp_taps, nsteps):
         xm = jnp.where(valid, x, 0.0)
         run_sp[:] = jnp.maximum(
             run_sp[:], jnp.max(jnp.abs(xm), axis=1, keepdims=True))
-        if tp_taps is not None:
+        if tp_taps is not None and "fir" not in ablate:
             # previous 128-sample chunk per sublane: an in-step sublane
             # roll for j>0; the carried previous step's last chunk
             # (sublane r*S + S - 1 -> r*S) for j == 0
-            xp = jnp.where(
-                jg == 0,
-                pltpu.roll(prev_x[:], RS + 1 - S, 0),
-                pltpu.roll(xm, 1, 0),
-            )
+            if "xp" in ablate:
+                xp = xm
+            else:
+                xp = jnp.where(
+                    jg == 0,
+                    pltpu.roll(prev_x[:], RS + 1 - S, 0),
+                    pltpu.roll(xm, 1, 0),
+                )
             accs = [jnp.zeros((RS, 128), jnp.float32) for _ in range(F)]
             for k in range(Kp):
                 if k == 0:
@@ -287,7 +302,7 @@ def kweight_energy_tp_chunked(bf_Tt, bf_Wt, bf_Ot, A_pows, x4, n_valid,
             jnp.matmul(m, m, precision=jax.lax.Precision.HIGHEST)))
     abt = jnp.stack(abt_list)                    # (len(ks), ns, ns)
 
-    m1, last, first_t = _selectors(rows, S)
+    m1, last, first = _selectors(rows, S)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(b, 1)
     nvr = jnp.repeat(jnp.repeat(nv, ch, axis=0), S, axis=0)  # (rows*S, 1)
 
@@ -319,7 +334,7 @@ def kweight_energy_tp_chunked(bf_Tt, bf_Wt, bf_Ot, A_pows, x4, n_valid,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, rows * S), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows * S, rows), lambda j: (0, 0),
+            pl.BlockSpec((rows, rows * S), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -336,14 +351,14 @@ def kweight_energy_tp_chunked(bf_Tt, bf_Wt, bf_Ot, A_pows, x4, n_valid,
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows, ns), jnp.float32),          # carry
+            pltpu.VMEM((ns, rows), jnp.float32),          # carry (ns, rows)
             pltpu.VMEM((rows * S, 128), jnp.float32),     # prev chunk
             pltpu.VMEM((rows * S, 1), jnp.float32),       # running tp
             pltpu.VMEM((rows * S, 1), jnp.float32),       # running sp
         ],
         interpret=interpret,
     )(x4, nvr, bf_Tt, tt_lo, bf_Wt, bf_Ot, abt, jnp.asarray(m1),
-      jnp.asarray(last), jnp.asarray(first_t))
+      jnp.asarray(last), jnp.asarray(first))
     step_sums = jnp.transpose(sums, (1, 0, 2))   # (rows, nsteps, 2) — tiny
     return step_sums, tp.reshape(rows), sp.reshape(rows)
 
