@@ -184,18 +184,27 @@ class AlsaStream:
 
 
 def list_input_devices() -> list[str]:
-    """Device names, sorted — real ALSA captures first when present,
-    then the synthetic sources (reference: list_input_devs,
-    src/audio_capture.rs:61-75)."""
+    """Device names, sorted — real captures first when present (ALSA, then
+    PulseAudio/PipeWire via apps/pulse.py), then the synthetic sources
+    (reference: list_input_devs, src/audio_capture.rs:61-75)."""
+    from soundscope_tpu.apps.pulse import PulseStream
+
     devs = []
     if AlsaStream.available():
         devs.append("default (ALSA)")
+    elif PulseStream.available():
+        devs.append("default (PulseAudio)")
     devs += ["Synthetic: 440 Hz sine", "Synthetic: noise"]
     return devs
 
 
 def build_input_stream(ring, rate: int, device_name: str):
-    if device_name.startswith("default") and AlsaStream.available():
-        return AlsaStream(ring, rate)
+    if device_name.startswith("default"):
+        if AlsaStream.available():
+            return AlsaStream(ring, rate)
+        from soundscope_tpu.apps.pulse import PulseStream
+
+        if PulseStream.available():
+            return PulseStream(ring, rate)
     kind = "noise" if "noise" in device_name else "sine"
     return SyntheticStream(ring, rate, kind)

@@ -235,7 +235,8 @@ class AudioPlayer:
 
     `sink_factory(rate) -> sink` builds the audible output for each loaded
     file (reference: rodio OutputStream, audio_player.rs:270-289). Defaults
-    to AlsaSink when `aplay` and a sound device exist, else playback stays
+    to AlsaSink when `aplay` and a sound device exist, then to PulseSink on
+    PulseAudio/PipeWire desktops (apps/pulse.py), else playback stays
     silent (transport-only) exactly as before."""
 
     def __init__(self, sink_factory=None):
@@ -246,8 +247,14 @@ class AudioPlayer:
         self.transport = Transport(self.position_q)
         self._quit = threading.Event()
         self._thread: threading.Thread | None = None
-        if sink_factory is None and AlsaSink.available():
-            sink_factory = AlsaSink
+        if sink_factory is None:
+            if AlsaSink.available():
+                sink_factory = AlsaSink
+            else:
+                from soundscope_tpu.apps.pulse import PulseSink
+
+                if PulseSink.available():
+                    sink_factory = PulseSink
         self._sink_factory = sink_factory
         self._feeder: SinkFeeder | None = None
 
