@@ -31,6 +31,22 @@ def _libav_headers() -> bool:
     )
 
 
+def _cxx() -> str | None:
+    """C++ compiler for the first-import build: $SS_CXX wins, then the
+    first of g++/c++/clang++ on PATH (macOS has no real g++; Windows has
+    none by default — there `available()` stays False and decode falls
+    back to the NumPy WAV/AIFF path, like the gated audio backends)."""
+    import shutil
+
+    env = os.environ.get("SS_CXX")
+    if env:
+        return env
+    for cand in ("g++", "c++", "clang++"):
+        if shutil.which(cand):
+            return cand
+    return None
+
+
 def _arch_sig() -> str:
     """Fingerprint of this host's CPU, so a cached .so carried to a
     different machine (NFS home, container image) forces a rebuild
@@ -68,11 +84,24 @@ def build(force: bool = False) -> str:
         # linking a shared object with -ffast-math on GCC<=12 pulls in
         # crtfastmath.o, whose constructor sets FTZ/DAZ process-wide the
         # moment ctypes dlopens the library.
-        cflags = ["-O3", "-march=native", "-funroll-loops",
-                  "-ffast-math", "-fPIC", "-std=c++17"]
+        import platform
         import shutil
         import tempfile
         import time
+
+        cxx = _cxx()
+        if cxx is None:
+            raise RuntimeError("no C++ compiler found (set SS_CXX)")
+        cflags = ["-O3", "-funroll-loops", "-ffast-math", "-fPIC",
+                  "-std=c++17"]
+        # -march=native is an x86 flag spelling; older AArch64 clang wants
+        # -mcpu=native. The decoders are scalar-heavy either way — the
+        # tuned codegen is worth ~10%, not correctness.
+        mach = platform.machine().lower()
+        if mach in ("x86_64", "amd64", "i686"):
+            cflags.insert(1, "-march=native")
+        elif mach in ("arm64", "aarch64"):
+            cflags.insert(1, "-mcpu=native")
 
         for want_libav in ([True] if _libav_headers() else []) + [False]:
             defs = ["-DSS_HAVE_LIBAV"] if want_libav else []
@@ -100,11 +129,11 @@ def build(force: bool = False) -> str:
                 for s in srcs:
                     o = os.path.join(
                         tmpd, os.path.splitext(os.path.basename(s))[0] + ".o")
-                    subprocess.run(["g++", *cflags, *defs, "-c", s, "-o", o],
+                    subprocess.run([cxx, *cflags, *defs, "-c", s, "-o", o],
                                    check=True, capture_output=True)
                     objs.append(o)
                 tmp_so = os.path.join(tmpd, "libssnative.so")
-                subprocess.run(["g++", "-shared", *objs, "-o", tmp_so, *libs],
+                subprocess.run([cxx, "-shared", *objs, "-o", tmp_so, *libs],
                                check=True, capture_output=True)
                 os.replace(tmp_so, _SO)  # atomic within the filesystem
             except subprocess.CalledProcessError as e:
