@@ -34,5 +34,18 @@ def enable_compile_cache(path: str | None = None) -> None:
             cache = os.path.expanduser("~/.cache/jax_comp")
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache-key stability across entry points: the persistent key
+        # hashes the serialized module AFTER strip-debuginfo, but Pallas
+        # kernels ride inside tpu_custom_call backend_config as opaque
+        # Mosaic bytecode whose locations are callsite-chained through
+        # the FULL user stack — so the same program reached via
+        # `cli warmup` and `cli analyze` hashed differently and warmup
+        # never pre-filled anything (measured: the two Mosaic payloads
+        # were the only diff between the modules). Truncated locations
+        # make the payload path-independent; an explicit user env
+        # setting wins.
+        if "JAX_INCLUDE_FULL_TRACEBACKS_IN_LOCATIONS" not in os.environ:
+            jax.config.update(
+                "jax_include_full_tracebacks_in_locations", False)
     except Exception:  # never let observability plumbing break analysis
         pass
