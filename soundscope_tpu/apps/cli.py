@@ -130,16 +130,21 @@ def _analyze_bucket(key, items, results, spectrogram_dir=None,
 
     (ch, rate, npad) = key
     cfg = MeterConfig(channels=ch, rate=rate, max_blocks=0)
-    # rows layout (b*ch, N): uploading channel-minor rows lets the
-    # engine's Pallas kernels consume the batch without the
-    # T(2,128)->T(8,128) relayout XLA inserts for (b, ch, N) input
-    # (~3.4 ms/GB-scale batch on chip; numerically identical, pinned by
-    # tests/test_conformance.py::test_rows_layout_matches_3d)
+    # 4D frames layout (b, ch, N/128, 128): the engine's canonical fast
+    # path (chunked energy+true-peak kernel consumes it natively, zero
+    # relayout of the batch — docs/KERNELS.md round 5). It also bounds
+    # kernel VMEM by construction via chunked_plan: the previous rows
+    # (b*ch, N) upload sent 64-track buckets into the fused prefix
+    # kernel, whose scoped-VMEM footprint model undercounts at 128 rows
+    # (Mosaic: 18.93M > 16M limit — compile failure on the first full
+    # e2e library scan). pad_bucket sizes are 2^k >= 32768, so N/128 is
+    # always divisible by the chunked kernel's group sizes.
     xs = np.zeros((len(items) * ch, npad), np.float32)
     nv = np.zeros(len(items), np.int32)
     for i, (_, d) in enumerate(items):
         xs[i * ch: i * ch + ch, : d.samples.shape[1]] = d.samples
         nv[i] = d.samples.shape[1]
+    xs = xs.reshape(len(items), ch, npad // 128, 128)
     fn = jax.jit(analyze_batch_native(cfg))
     with RT.measure("analyze", float(nv.sum()) / rate):
         res = jax.block_until_ready(fn(jnp.asarray(xs), jnp.asarray(nv)))

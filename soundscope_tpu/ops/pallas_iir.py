@@ -636,6 +636,16 @@ def kweight_energy_tp_eligible(n, b, ch, B, ns, rate) -> bool:
     factor = C.true_peak_factor(rate)
     if factor <= 1 or n % B != 0:
         return False
+    # Row-count guard: _prefix_footprint undercounts the fused variant's
+    # scoped VMEM at high row counts (measured: rows=128, B=512, kpg=8
+    # -> Mosaic allocates 18.93M against the 16M scoped limit while the
+    # model says 13.6M — liveness of the masked/context tile copies
+    # scales with kpg in ways the static model misses). rows=64 (the
+    # 32x60 s bench shape, kpg=15) is chip-validated; larger batches go
+    # through the chunked frames kernel (bounded by chunked_plan) or
+    # the standalone pair.
+    if b * ch > 64:
+        return False
     kpg = pick_kpg_prefix(n // B, b * ch, b, B, ns,
                           tp_kp=_polyphase_taps(factor).shape[1])
     return kpg >= 4

@@ -380,8 +380,13 @@ def _subblock_gather_plan(n: int, h: int, span: int):
     # is a valid index) and there is no partial last step.
     last_ok = s1 < nsteps
     s1c = np.minimum(s1, nsteps - 1).astype(np.int32)
-    return (jnp.asarray(s0), jnp.asarray(s1.astype(np.int32)),
-            jnp.asarray(s1c), jnp.asarray(last_ok[None].astype(np.float32)))
+    # NUMPY outputs only: this is an lru_cache, and a jnp.asarray built
+    # while tracing is a tracer — reusing it in a later trace of the
+    # same shape raises UnexpectedTracerError (hit by the CLI, which
+    # traces the same (n, h, span) once for the warm batch and again
+    # for each bucket size). NumPy indices fold into each trace as
+    # constants.
+    return s0, s1.astype(np.int32), s1c, last_ok[None].astype(np.float32)
 
 
 def subblock_sums_from_steps(step_sums: jnp.ndarray, h: int, span: int,

@@ -128,9 +128,12 @@ def main() -> int:
     print(f"corpus: {len(paths)} files ({time.time() - t0:.1f}s) in {d}",
           file=sys.stderr, flush=True)
 
-    # warm the analyze program for this bucket shape (compile time is
-    # measured separately by the warmup/cold-start story, not here)
-    _analyze_paths(paths[: min(8, len(paths))])
+    # warm the analyze programs the scan will actually run (compile time
+    # is measured separately by the warmup/cold-start story, not here):
+    # one full 64-track bucket plus the final partial bucket's size.
+    flush_at = 64
+    warm = min(flush_at, len(paths)) + (len(paths) % flush_at or flush_at)
+    _analyze_paths(paths[: min(warm, len(paths))])
     RT.reset()
 
     t0 = time.time()
