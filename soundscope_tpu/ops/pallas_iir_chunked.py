@@ -77,7 +77,15 @@ def chunked_plan(n: int, nc: int, rows: int, h: int, factor: int,
         return None
     F = max(factor, 1)
     for S in (32, 16, 8):
-        if nc % S == 0 and S * 128 <= h and _footprint(rows, S, F) <= vmem_cap:
+        # rows*S <= 1024: Mosaic's scoped-stack usage for this kernel is
+        # ~14 KB per rows*S unit (measured on chip: rows=80, S=16 ->
+        # 17.4M scoped, over the 16M limit; rows*S = 1024 compiles at
+        # both rows=64, S=16 — the 32x60 s bench — and rows=128, S=8 —
+        # the 64-track CLI bucket). The analytic _footprint below models
+        # the pipelined tiles/constants, which are budgeted separately
+        # from the scoped stack.
+        if (nc % S == 0 and S * 128 <= h and rows * S <= 1024
+                and _footprint(rows, S, F) <= vmem_cap):
             return S
     return None
 

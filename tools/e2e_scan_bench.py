@@ -124,9 +124,16 @@ def main() -> int:
     d = keep or tempfile.mkdtemp(prefix="ss_e2e_")
     os.makedirs(d, exist_ok=True)
     t0 = time.time()
-    paths = make_corpus(d, tracks, seconds)
-    print(f"corpus: {len(paths)} files ({time.time() - t0:.1f}s) in {d}",
-          file=sys.stderr, flush=True)
+    existing = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.startswith("track"))
+    if keep and len(existing) >= tracks:
+        paths = existing[:tracks]
+        print(f"corpus: reusing {len(paths)} files in {d}",
+              file=sys.stderr, flush=True)
+    else:
+        paths = make_corpus(d, tracks, seconds)
+        print(f"corpus: {len(paths)} files ({time.time() - t0:.1f}s) in {d}",
+              file=sys.stderr, flush=True)
 
     # warm the analyze programs the scan will actually run (compile time
     # is measured separately by the warmup/cold-start story, not here):
