@@ -63,6 +63,43 @@ def test_chunked_plan_eligibility():
     assert chunked_plan(128 * 12, 12, 4, 4800, 4) is None
 
 
+def test_chunked_plan_scoped_stack_bound():
+    """Mosaic scoped-stack usage is ~14 KB per rows*S unit (chip-measured:
+    rows=80, S=16 allocates 17.4M against the 16M limit; rows*S = 1024
+    compiles in both aspect ratios). Every plan must keep rows*S <= 1024
+    — the exact shapes from the first full e2e library scan, which
+    compile-failed before the bound existed."""
+    for rows in (80, 128):
+        S = chunked_plan(1 << 20, (1 << 20) // 128, rows, 4800, 4)
+        assert S is not None and rows * S <= 1024, (rows, S)
+    # rows > 128 can't satisfy the bound at the minimum S=8: the plan
+    # must decline (the engine then falls back to the 3D path)
+    assert chunked_plan(1 << 20, (1 << 20) // 128, 256, 4800, 4) is None
+    # the 32x60 s bench shape keeps its chip-validated S=16
+    assert chunked_plan(22528 * 128, 22528, 64, 4800, 4) == 16
+
+
+def test_subblock_gather_plan_reusable_across_traces():
+    """The gather plan is lru_cached; it must hold NumPy (not jnp)
+    constants, or the first trace's arrays leak into the second trace of
+    the same (n, h, span) as escaped tracers (UnexpectedTracerError —
+    hit by the CLI, which analyzes several bucket sizes that share a
+    padded length)."""
+    import jax
+
+    n, h, span = 1 << 17, 4800, 4096
+    nsteps = n // span
+
+    def run(rows):
+        steps = jnp.ones((rows, nsteps, 2), jnp.float32)
+        return jax.jit(
+            lambda s: subblock_sums_from_steps(s, h, span, n))(steps)
+
+    a = np.asarray(run(2))   # first trace populates the cache
+    b = np.asarray(run(4))   # second trace must reuse it safely
+    assert a.shape == (2, n // h) and b.shape == (4, n // h)
+
+
 @pytest.mark.parametrize("rate,b,raggedness", [
     (48000, 3, "ragged"),
     (44100, 3, "ragged"),
