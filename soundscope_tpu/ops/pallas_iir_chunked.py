@@ -126,13 +126,31 @@ def _chunked_kernel_factory(b, ch, S, weights, h, ks, tp_taps, nsteps):
     # stages to attribute device time. Produces WRONG results.
     ablate = set(filter(None, os.environ.get(
         "SS_CHUNKED_ABLATE", "").split(",")))
+    # SS_TP_MXU=1 (EXPERIMENTAL): compute the polyphase FIR as two bf16
+    # MXU matmuls against banded (128, F*128) tap matrices instead of
+    # the per-tap VPU roll/FMA schedule — leaves the VPU issue floor
+    # (5.56 ms/iter measured) for MXU rate (~1.9 ms expected) at a
+    # fidelity cost: single-rounded bf16 x and taps put the true peak
+    # ~0.02 dB worst-case from exact (budget: 0.1 dB). Interpret-
+    # validated; real-chip Mosaic compile is very slow at bench-scale
+    # grids and is unbenchmarked (docs/KERNELS.md round-5 cont.).
+    # Default OFF — the headline keeps the exact FIR.
+    tp_mxu = os.environ.get("SS_TP_MXU", "0") == "1"
     hiP = jax.lax.Precision.HIGHEST
     if tp_taps is not None:
         F, Kp = tp_taps.shape
 
-    def kernel(x_ref, nvr_ref, tt_ref, ttlo_ref, wt_ref, ot_ref,
-               abt_ref, m1_ref, last_ref, first_ref, sums_ref, tp_ref,
-               sp_ref, carry, prev_x, run_tp, run_sp):
+    use_mxu_fir = tp_mxu and tp_taps is not None
+
+    def kernel(*refs):
+        (x_ref, nvr_ref, tt_ref, ttlo_ref, wt_ref, ot_ref,
+         abt_ref, m1_ref, last_ref, first_ref) = refs[:10]
+        if use_mxu_fir:
+            hm_ref, hp_ref = refs[10:12]
+            rest = refs[12:]
+        else:
+            rest = refs[10:]
+        sums_ref, tp_ref, sp_ref, carry, prev_x, run_tp, run_sp = rest
         j = pl.program_id(0)
         ns = wt_ref.shape[1]
 
@@ -223,23 +241,39 @@ def _chunked_kernel_factory(b, ch, S, weights, h, ks, tp_taps, nsteps):
                     pltpu.roll(prev_x[:], RS + 1 - S, 0),
                     pltpu.roll(xm, 1, 0),
                 )
-            accs = [jnp.zeros((RS, 128), jnp.float32) for _ in range(F)]
-            for k in range(Kp):
-                if k == 0:
-                    sh = xm
-                else:
-                    sh = pltpu.roll(
-                        jnp.where(lane >= 128 - k, xp, xm), k, 1)
+            if use_mxu_fir:
+                # banded-matmul FIR: all F phases in one (RS, F*128)
+                # output, current chunk against the in-band taps plus
+                # the previous chunk against the wrap taps
+                accf = (dg(xm.astype(jnp.bfloat16), hm_ref[:], ((1,), (0,)))
+                        + dg(xp.astype(jnp.bfloat16), hp_ref[:],
+                             ((1,), (0,))))
+                lane4 = jax.lax.broadcasted_iota(
+                    jnp.int32, (RS, F * 128), 1) % 128
+                sub4 = jax.lax.broadcasted_iota(
+                    jnp.int32, (RS, F * 128), 0)
+                g4 = (j * S + sub4 % S) * 128 + lane4
+                accf = jnp.where(g4 < nvr_ref[:], jnp.abs(accf), 0.0)
+                run_tp[:] = jnp.maximum(
+                    run_tp[:], jnp.max(accf, axis=1, keepdims=True))
+            else:
+                accs = [jnp.zeros((RS, 128), jnp.float32) for _ in range(F)]
+                for k in range(Kp):
+                    if k == 0:
+                        sh = xm
+                    else:
+                        sh = pltpu.roll(
+                            jnp.where(lane >= 128 - k, xp, xm), k, 1)
+                    for p in range(F):
+                        hk = float(tp_taps[p, k])
+                        if hk != 0.0:
+                            accs[p] = accs[p] + hk * sh
+                tp_blk = run_tp[:]
                 for p in range(F):
-                    hk = float(tp_taps[p, k])
-                    if hk != 0.0:
-                        accs[p] = accs[p] + hk * sh
-            tp_blk = run_tp[:]
-            for p in range(F):
-                acc = jnp.where(valid, accs[p], 0.0)
-                tp_blk = jnp.maximum(
-                    tp_blk, jnp.max(jnp.abs(acc), axis=1, keepdims=True))
-            run_tp[:] = tp_blk
+                    acc = jnp.where(valid, accs[p], 0.0)
+                    tp_blk = jnp.maximum(
+                        tp_blk, jnp.max(jnp.abs(acc), axis=1, keepdims=True))
+                run_tp[:] = tp_blk
             prev_x[:] = xm
 
         @pl.when(j == nsteps - 1)
@@ -320,6 +354,32 @@ def kweight_energy_tp_chunked(bf_Tt, bf_Wt, bf_Ot, A_pows, x4, n_valid,
     ns = bf_Wt.shape[1]
     nks = len(ks)
 
+    import os as _os
+    use_mxu_fir = (tp_taps is not None
+                   and _os.environ.get("SS_TP_MXU", "0") == "1")
+    mxu_operands, mxu_specs = (), []
+    if use_mxu_fir:
+        F, Kp = tp_taps.shape
+        Hm = np.zeros((128, F * 128), np.float32)
+        Hp = np.zeros((128, F * 128), np.float32)
+        for p in range(F):
+            for k in range(Kp):
+                hv = float(tp_taps[p, k])
+                for lo in range(128):
+                    m = lo - k
+                    if m >= 0:
+                        Hm[m, p * 128 + lo] = hv
+                    else:
+                        Hp[128 + m, p * 128 + lo] = hv
+        mxu_operands = (jnp.asarray(Hm, jnp.bfloat16),
+                        jnp.asarray(Hp, jnp.bfloat16))
+        mxu_specs = [
+            pl.BlockSpec((128, F * 128), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, F * 128), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     sums, tp, sp = pl.pallas_call(
         kernel,
         grid=(nsteps,),
@@ -344,7 +404,7 @@ def kweight_energy_tp_chunked(bf_Tt, bf_Wt, bf_Ot, A_pows, x4, n_valid,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, rows * S), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + mxu_specs,
         out_specs=[
             pl.BlockSpec((1, rows, 2), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -366,7 +426,7 @@ def kweight_energy_tp_chunked(bf_Tt, bf_Wt, bf_Ot, A_pows, x4, n_valid,
         ],
         interpret=interpret,
     )(x4, nvr, bf_Tt, tt_lo, bf_Wt, bf_Ot, abt, jnp.asarray(m1),
-      jnp.asarray(last), jnp.asarray(first))
+      jnp.asarray(last), jnp.asarray(first), *mxu_operands)
     step_sums = jnp.transpose(sums, (1, 0, 2))   # (rows, nsteps, 2) — tiny
     return step_sums, tp.reshape(rows), sp.reshape(rows)
 
